@@ -1,0 +1,162 @@
+"""One-shot in-memory API: ``compress(bytes) -> bytes`` and
+``decompress(bytes) -> bytes``.
+
+Mirrors BZ2_bzBuffToBuffCompress/Decompress semantics (reference
+bzlib.c:1309-1410): a single whole stream per call, with distinct error
+classes for corruption vs truncation.  The block codec backend is pluggable:
+``backend="oracle"`` uses the NumPy reference implementation; the JAX engine
+registers itself as ``backend="tpu"`` (default when available).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import constants as C
+from . import crc as _crc
+from . import rle1 as _rle1
+from .bitstream import BitReader, BitWriter, splice
+from .oracle import block as _oblock
+
+
+class BZ2Error(Exception):
+    code = C.BZ_DATA_ERROR
+
+
+class DataError(BZ2Error):
+    """Stream is corrupt (BZ_DATA_ERROR)."""
+    code = C.BZ_DATA_ERROR
+
+
+class DataErrorMagic(DataError):
+    """Not a bzip2 stream (BZ_DATA_ERROR_MAGIC)."""
+    code = C.BZ_DATA_ERROR_MAGIC
+
+
+class UnexpectedEOF(BZ2Error):
+    """Stream truncated mid-block (BZ_UNEXPECTED_EOF)."""
+    code = C.BZ_UNEXPECTED_EOF
+
+
+_BLOCK_ENCODERS = {"oracle": None}  # filled lazily / by engine registration
+
+
+def _oracle_encode_blocks(blocks):
+    return [_oblock.encode_block(b) for b in blocks]
+
+
+def register_block_encoder(name: str, fn) -> None:
+    """Register a batched block encoder: fn(list[RLE1Block]) ->
+    list[(uint8 array, nbits)] of per-block bit payloads."""
+    _BLOCK_ENCODERS[name] = fn
+
+
+register_block_encoder("oracle", _oracle_encode_blocks)
+_default_backend = "oracle"
+
+
+def set_default_backend(name: str) -> None:
+    global _default_backend
+    _default_backend = name
+
+
+def get_default_backend() -> str:
+    return _default_backend
+
+
+def compress(data, level: int = 9, backend: str | None = None) -> bytes:
+    """Compress ``data`` into a complete single .bz2 stream."""
+    if not 1 <= level <= 9:
+        raise ValueError("level must be 1..9")
+    backend = backend or _default_backend
+    encoder = _BLOCK_ENCODERS[backend]
+    if encoder is None:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    blocks = _rle1.encode_blocks(data, level)
+    payloads = encoder(blocks) if blocks else []
+
+    w = BitWriter()
+    w.write(C.HDR_B, 8)
+    w.write(C.HDR_Z, 8)
+    w.write(C.HDR_h, 8)
+    w.write(C.HDR_0 + level, 8)
+    header, hbits = w.getvalue()
+    parts = [(header, hbits)]
+    parts.extend(payloads)
+    eos = BitWriter()
+    eos.write(C.EOS_MAGIC, 48)
+    eos.write(_crc.combine_block_crcs([b.crc for b in blocks]), 32)
+    parts.append(eos.getvalue())
+    buf, _ = splice(parts)
+    return buf.tobytes()
+
+
+def decompress(data, multi_stream: bool = False) -> bytes:
+    """Decompress one .bz2 stream (or all concatenated streams if
+    ``multi_stream``).  Verifies both CRC layers.
+
+    Raises DataErrorMagic / DataError / UnexpectedEOF exactly where the
+    reference returns the corresponding BZ_* codes.
+    """
+    out, _ = decompress_with_tail(data, multi_stream=multi_stream)
+    return out
+
+
+def decompress_with_tail(data, multi_stream: bool = False) -> tuple[bytes, int]:
+    """Like decompress(); also returns the byte offset where parsing stopped
+    (start of any trailing garbage / next stream)."""
+    buf = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else data
+    r = BitReader(buf)
+    chunks: list[bytes] = []
+    streams_done = 0
+    while True:
+        try:
+            _decompress_stream(r, chunks)
+        except EOFError:
+            raise UnexpectedEOF("stream truncated") from None
+        except DataErrorMagic:
+            if streams_done and multi_stream:
+                # Trailing garbage after at least one complete stream is
+                # tolerated (bzip2.c:531-542); report where it starts.
+                break
+            raise
+        streams_done += 1
+        # Streams are byte-aligned; skip pad bits to the next byte.
+        r.pos += r.byte_align_remainder()
+        if not multi_stream or r.pos >= r.nbits:
+            break
+    return b"".join(chunks), (r.pos + 7) // 8
+
+
+def _decompress_stream(r: BitReader, chunks: list) -> None:
+    pos0 = r.pos
+    try:
+        hb, hz, hh, hl = r.read(8), r.read(8), r.read(8), r.read(8)
+    except EOFError:
+        raise DataErrorMagic("truncated header") from None
+    if (hb, hz, hh) != (C.HDR_B, C.HDR_Z, C.HDR_h) or not (C.HDR_0 + 1 <= hl <= C.HDR_0 + 9):
+        r.pos = pos0
+        raise DataErrorMagic("bad stream header")
+    level = hl - C.HDR_0
+
+    combined = 0
+    n_blocks = 0
+    while True:
+        magic = r.read(48)
+        if magic == C.EOS_MAGIC:
+            stored_combined = r.read(32)
+            if stored_combined != combined:
+                raise DataError("combined CRC mismatch")
+            return
+        if magic != C.BLOCK_MAGIC:
+            raise DataError("bad block magic")
+        try:
+            stored_crc, raw = _oblock.decode_block_body(r, level)
+        except _oblock.DataError as e:
+            raise DataError(str(e)) from e
+        calc = _crc.crc32(raw)
+        if calc != stored_crc:
+            raise DataError("block CRC mismatch")
+        combined = (((combined << 1) | (combined >> 31)) & 0xFFFFFFFF) ^ stored_crc
+        chunks.append(raw.tobytes())
+        n_blocks += 1
