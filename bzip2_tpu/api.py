@@ -40,12 +40,12 @@ class UnexpectedEOF(BZ2Error):
 _BLOCK_ENCODERS = {"oracle": None}  # filled lazily / by engine registration
 
 
-def _oracle_encode_blocks(blocks):
+def _oracle_encode_blocks(blocks, level):
     return [_oblock.encode_block(b) for b in blocks]
 
 
 def register_block_encoder(name: str, fn) -> None:
-    """Register a batched block encoder: fn(list[RLE1Block]) ->
+    """Register a batched block encoder: fn(list[RLE1Block], level) ->
     list[(uint8 array, nbits)] of per-block bit payloads."""
     _BLOCK_ENCODERS[name] = fn
 
@@ -73,7 +73,7 @@ def compress(data, level: int = 9, backend: str | None = None) -> bytes:
         raise ValueError(f"unknown backend {backend!r}")
 
     blocks = _rle1.encode_blocks(data, level)
-    payloads = encoder(blocks) if blocks else []
+    payloads = encoder(blocks, level) if blocks else []
 
     w = BitWriter()
     w.write(C.HDR_B, 8)

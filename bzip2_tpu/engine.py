@@ -1,0 +1,221 @@
+"""TPU block-encode engine: one jitted function per (batch, block-size)
+bucket that takes padded RLE1 blocks and returns fully serialized per-block
+bitstreams, plus the host orchestration that batches blocks, invokes the
+device, and bit-splices the results into a .bz2 stream.
+
+Device pipeline (all one jit):
+  BWT (multi-key sort prefix doubling)            ops.bwt
+  MTF + RLE2 + frequencies                        ops.mtf
+  6-table group search, 4 iterations              ops.groupsearch
+  exact-heap Huffman lengths + canonical codes    ops.huffman
+  field emission (headers, selectors, delta       here
+    tables, payload) -> packed words              ops.bitpack
+
+Host keeps: RLE1 + block splitting (bzip2_tpu.rle1), CRC32, stream
+header/EOS framing, and the ordered bit-splice of per-block payloads
+(reference semantics: bzlib.c / compress.c; the wire layout is documented in
+oracle/block.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from . import crc as _crc
+from . import rle1 as _rle1
+from .bitstream import BitWriter, splice
+from .ops.bitpack import pack_fields
+from .ops.bwt import bwt_batched
+from .ops.groupsearch import group_search_batched
+from .ops.mtf import mtf_rle2_batched
+
+A = C.MAX_ALPHA_SIZE
+
+
+def _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf, n_in_use,
+                 n_groups, n_selectors, sel_mtf, lens, codes, selectors):
+    """Build the (vals, lens) field arrays for one batch.  Shapes static."""
+    B, M = mtfv.shape
+    G = sel_mtf.shape[1]
+    u32 = jnp.uint32
+    i32 = jnp.int32
+
+    fields_v = []
+    fields_l = []
+
+    def add(v, l):
+        fields_v.append(v.astype(u32))
+        fields_l.append(l.astype(i32))
+
+    ones = jnp.ones((B,), i32)
+    # block magic + CRC + (rand bit | origPtr)
+    add(jnp.full((B,), C.BLOCK_MAGIC >> 24, u32)[:, None], (ones * 24)[:, None])
+    add(jnp.full((B,), C.BLOCK_MAGIC & 0xFFFFFF, u32)[:, None], (ones * 24)[:, None])
+    add(crc.astype(u32)[:, None], (ones * 32)[:, None])
+    add(orig_ptr.astype(u32)[:, None], (ones * 25)[:, None])  # rand=0 ++ origPtr
+
+    # mapping: 16-bit group mask, then 16 bits per used group
+    iu = in_use.reshape(B, 16, 16)
+    gmask_bits = jnp.any(iu, axis=2)                                  # (B,16)
+    w16 = (1 << jnp.arange(15, -1, -1, dtype=i32))[None, :]
+    gmask = jnp.sum(jnp.where(gmask_bits, w16, 0), axis=1)
+    add(gmask[:, None], (ones * 16)[:, None])
+    gbits = jnp.sum(jnp.where(iu, w16[None], 0), axis=2)              # (B,16)
+    add(gbits, jnp.where(gmask_bits, 16, 0))
+
+    add(n_groups.astype(u32)[:, None], (ones * 3)[:, None])
+    add(n_selectors.astype(u32)[:, None], (ones * 15)[:, None])
+
+    # selectors: value v in 1..6 -> v bits of pattern (1<<v)-2
+    add((jnp.uint32(1) << sel_mtf.astype(u32)) - 2, jnp.where(sel_mtf > 0, sel_mtf, 0))
+
+    # coding tables: per table, 5-bit first length then per-symbol
+    # {"10"*d | "11"*d, then "0"}.
+    arange_a = jnp.arange(A, dtype=i32)[None, None, :]
+    alpha = n_in_use + 2
+    t_active = (jnp.arange(6, dtype=i32)[None, :] < n_groups[:, None])  # (B,6)
+    sym_active = arange_a < alpha[:, None, None]                        # (B,1,A)
+    active = jnp.logical_and(t_active[:, :, None], sym_active)          # (B,6,A)
+    lens_m = jnp.where(active, lens, 0)
+    first = lens_m[:, :, 0]
+    prev = jnp.concatenate([first[:, :, None], lens_m[:, :, :-1]], axis=2)
+    delta = jnp.where(active, lens_m - prev, 0)
+    up = jnp.maximum(delta, 0)
+    down = jnp.maximum(-delta, 0)
+    nbits_d = 2 * (up + down)
+    pat_up = jnp.where(delta > 0,
+                       jnp.uint32(0xAAAAAAAA) >> jnp.clip(32 - 2 * up, 0, 31).astype(u32), 0)
+    pat_dn = jnp.where(delta < 0,
+                       jnp.uint32(0xFFFFFFFF) >> jnp.clip(32 - 2 * down, 0, 31).astype(u32), 0)
+    # Wire order interleaves per table: [5-bit first][delta,stop]*A, table by
+    # table — build (B, 6, 1+2A) slot planes and flatten row-major.
+    tab_v = jnp.zeros((B, 6, 1 + 2 * A), u32)
+    tab_l = jnp.zeros((B, 6, 1 + 2 * A), i32)
+    tab_v = tab_v.at[:, :, 0].set(first.astype(u32))
+    tab_l = tab_l.at[:, :, 0].set(jnp.where(t_active, 5, 0))
+    tab_v = tab_v.at[:, :, 1::2].set((pat_up + pat_dn).astype(u32))
+    tab_l = tab_l.at[:, :, 1::2].set(nbits_d)
+    tab_l = tab_l.at[:, :, 2::2].set(jnp.where(active, 1, 0))
+    add(tab_v.reshape(B, 6 * (1 + 2 * A)), tab_l.reshape(B, 6 * (1 + 2 * A)))
+
+    # payload: per-symbol code from its group's table
+    g_of = jnp.arange(M, dtype=i32)[None, :] // C.G_SIZE
+    g_of = jnp.minimum(g_of, selectors.shape[1] - 1)
+    sel_per_sym = jnp.take_along_axis(selectors, g_of, axis=1)          # (B,M)
+    m_valid = jnp.arange(M, dtype=i32)[None, :] < n_mtf[:, None]
+    flat_ts = sel_per_sym * A + mtfv
+    pay_code = jnp.take_along_axis(codes.reshape(B, 6 * A), flat_ts, axis=1)
+    pay_len = jnp.take_along_axis(lens.reshape(B, 6 * A), flat_ts, axis=1)
+    add(jnp.where(m_valid, pay_code, 0), jnp.where(m_valid, pay_len, 0))
+
+    vals = jnp.concatenate(fields_v, axis=1)
+    flens = jnp.concatenate(fields_l, axis=1)
+    return vals, flens
+
+
+def encode_batch_device(blocks, n, in_use, crc, n_words: int):
+    """The full jitted encoder: (B,N) uint8 padded RLE1 blocks -> packed
+    per-block bitstreams (B, n_words) uint32 + bit counts (B,)."""
+    last, orig_ptr, _ = bwt_batched(blocks, n)
+    mtfv, n_mtf, freq, n_in_use = mtf_rle2_batched(last, n, in_use)
+    n_groups, n_selectors, selectors, sel_mtf, lens, codes = group_search_batched(
+        mtfv, n_mtf, freq, n_in_use)
+    vals, flens = _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf,
+                               n_in_use, n_groups, n_selectors, sel_mtf, lens,
+                               codes, selectors)
+    return pack_fields(vals, flens, n_words)
+
+
+def _block_pad_size(level: int) -> int:
+    n = C.nblock_max(level) + C.BLOCK_OVERSHOOT
+    return -(-n // 1024) * 1024
+
+
+def _words_for(N: int) -> int:
+    # worst case: 17-bit codes for every symbol + headers, with slack
+    return (17 * (N + 1) + 6 * A * 3 + C.MAX_SELECTORS * 6 + 4096) // 32 + 4
+
+
+class Engine:
+    """Batched TPU encoder with per-(level, batch) compile caching."""
+
+    def __init__(self, batch_size: int = 4):
+        self.batch_size = batch_size
+        self._compiled = {}
+
+    def _fn(self, level: int, bsz: int):
+        key = (level, bsz)
+        if key not in self._compiled:
+            N = _block_pad_size(level)
+            W = _words_for(N)
+            self._compiled[key] = jax.jit(
+                functools.partial(encode_batch_device, n_words=W))
+        return self._compiled[key]
+
+    def encode_payloads(self, blocks: list[_rle1.RLE1Block], level: int):
+        """Encode RLE1 blocks into per-block (bytes, nbits) payloads."""
+        N = _block_pad_size(level)
+        out = []
+        bsz = self.batch_size
+        for i in range(0, len(blocks), bsz):
+            chunk = blocks[i:i + bsz]
+            nb = len(chunk)
+            pad_to = bsz if len(blocks) > bsz else nb  # small files: exact batch
+            arr = np.zeros((pad_to, N), np.uint8)
+            ns = np.ones(pad_to, np.int32)
+            uses = np.zeros((pad_to, 256), bool)
+            crcs = np.zeros(pad_to, np.uint32)
+            uses[:, 0] = True  # dummy lanes: 1-byte block of 0x00
+            for j, blk in enumerate(chunk):
+                arr[j, :blk.data.size] = blk.data
+                ns[j] = blk.data.size
+                uses[j] = blk.in_use
+                crcs[j] = blk.crc
+            fn = self._fn(level, pad_to)
+            words, nbits = fn(jnp.asarray(arr), jnp.asarray(ns),
+                              jnp.asarray(uses), jnp.asarray(crcs))
+            words = np.asarray(words)
+            nbits = np.asarray(nbits)
+            for j in range(nb):
+                nbit = int(nbits[j])
+                payload = words[j, : (nbit + 31) // 32]
+                by = payload.byteswap().view(np.uint8)  # MSB-first byte order
+                out.append((by[: (nbit + 7) // 8], nbit))
+        return out
+
+    def compress(self, data, level: int = 9) -> bytes:
+        blocks = _rle1.encode_blocks(data, level)
+        payloads = self.encode_payloads(blocks, level) if blocks else []
+        w = BitWriter()
+        for v in (C.HDR_B, C.HDR_Z, C.HDR_h, C.HDR_0 + level):
+            w.write(v, 8)
+        parts = [w.getvalue()]
+        parts.extend(payloads)
+        eos = BitWriter()
+        eos.write(C.EOS_MAGIC, 48)
+        eos.write(_crc.combine_block_crcs([b.crc for b in blocks]), 32)
+        parts.append(eos.getvalue())
+        return splice(parts)[0].tobytes()
+
+
+_default_engine: Engine | None = None
+
+
+def default_engine() -> Engine:
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = Engine()
+    return _default_engine
+
+
+def register_backend() -> None:
+    """Register the TPU engine as block-encoder backend "tpu" for
+    api.compress(..., backend="tpu")."""
+    from . import api
+
+    api.register_block_encoder(
+        "tpu", lambda blocks, level: default_engine().encode_payloads(blocks, level))

@@ -1,0 +1,43 @@
+"""End-to-end JAX engine vs golden samples, the oracle, and stock bzip2."""
+import bz2 as stdlib_bz2
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from bzip2_tpu import api
+from bzip2_tpu.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine(batch_size=2)
+
+
+@pytest.mark.parametrize("i,level", [(1, 1), (2, 2), (3, 3)])
+def test_engine_golden_bit_exact(engine, golden, i, level):
+    ref, gold = golden[i]
+    assert engine.compress(ref, level) == gold
+
+
+def test_engine_multiblock_batching(engine, rng):
+    # 5 blocks at level 1 across batch_size=2 -> 3 device calls incl. a
+    # padded dummy lane.
+    data = rng.integers(0, 256, 450_000, dtype=np.uint8).tobytes()
+    out = engine.compress(data, 1)
+    assert out == stdlib_bz2.compress(data, 1)
+    assert api.decompress(out) == data
+
+
+def test_engine_tiny_and_runs(engine):
+    for data in [b"x", b"ab" * 300, b"z" * 100_000, bytes(255) * 4]:
+        out = engine.compress(data, 1)
+        assert stdlib_bz2.decompress(out) == data
+
+
+def test_engine_backend_registration(engine):
+    from bzip2_tpu.engine import register_backend
+    register_backend()
+    data = b"backend registration round trip" * 10
+    assert api.compress(data, 1, backend="tpu") == stdlib_bz2.compress(data, 1)
