@@ -40,6 +40,14 @@ class UnexpectedEOF(BZ2Error):
 _BLOCK_ENCODERS = {"oracle": None}  # filled lazily / by engine registration
 
 
+def _native_available() -> bool:
+    try:
+        from . import native
+        return native.available()
+    except Exception:
+        return False
+
+
 def _oracle_encode_blocks(blocks, level):
     return [_oblock.encode_block(b) for b in blocks]
 
@@ -91,20 +99,34 @@ def compress(data, level: int = 9, backend: str | None = None) -> bytes:
     return buf.tobytes()
 
 
-def decompress(data, multi_stream: bool = False) -> bytes:
+def decompress(data, multi_stream: bool = False, backend: str | None = None) -> bytes:
     """Decompress one .bz2 stream (or all concatenated streams if
     ``multi_stream``).  Verifies both CRC layers.
 
     Raises DataErrorMagic / DataError / UnexpectedEOF exactly where the
-    reference returns the corresponding BZ_* codes.
+    reference returns the corresponding BZ_* codes.  backend: "native"
+    (default when built) or "oracle".
     """
-    out, _ = decompress_with_tail(data, multi_stream=multi_stream)
+    out, _ = decompress_with_tail(data, multi_stream=multi_stream, backend=backend)
     return out
 
 
-def decompress_with_tail(data, multi_stream: bool = False) -> tuple[bytes, int]:
+def decompress_with_tail(data, multi_stream: bool = False,
+                         backend: str | None = None) -> tuple[bytes, int]:
     """Like decompress(); also returns the byte offset where parsing stopped
     (start of any trailing garbage / next stream)."""
+    if backend is None:
+        backend = "native" if _native_available() else "oracle"
+    if backend == "native":
+        from . import native
+        out, consumed, rc = native.decompress(data, multi_stream=multi_stream)
+        if rc == native.BZT_OK:
+            return out, consumed
+        if rc == native.BZT_DATA_ERROR_MAGIC:
+            raise DataErrorMagic("bad stream header")
+        if rc == native.BZT_UNEXPECTED_EOF:
+            raise UnexpectedEOF("stream truncated")
+        raise DataError(f"corrupt stream (native rc={rc})")
     buf = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else data
     r = BitReader(buf)
     chunks: list[bytes] = []

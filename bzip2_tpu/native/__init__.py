@@ -1,0 +1,99 @@
+"""ctypes bindings for the C++ host runtime (see bz2tpu_host.cpp).
+
+``available()`` gates all native fast paths; every caller has a NumPy/oracle
+fallback so the framework works without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes as ct
+
+import numpy as np
+
+from .build import ensure_built
+
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    so = ensure_built()
+    if so is None:
+        _load_failed = True
+        return None
+    lib = ct.CDLL(so)
+    lib.bz2tpu_crc32.restype = ct.c_uint32
+    lib.bz2tpu_crc32.argtypes = [ct.c_void_p, ct.c_int64]
+    lib.bz2tpu_make_code_lengths.restype = None
+    lib.bz2tpu_make_code_lengths.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_int32, ct.c_void_p]
+    lib.bz2tpu_decompress.restype = ct.c_int32
+    lib.bz2tpu_decompress.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int32,
+        ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int64)]
+    lib.bz2tpu_free.restype = None
+    lib.bz2tpu_free.argtypes = [ct.c_void_p]
+    lib.bz2tpu_set_rnums.restype = None
+    lib.bz2tpu_set_rnums.argtypes = [ct.c_void_p]
+    from ..rand_table import RNUMS
+    r = np.ascontiguousarray(RNUMS, dtype=np.int32)
+    lib.bz2tpu_set_rnums(r.ctypes.data_as(ct.c_void_p))
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def crc32(data) -> int:
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    buf = np.ascontiguousarray(buf)
+    return int(lib.bz2tpu_crc32(buf.ctypes.data_as(ct.c_void_p), buf.size))
+
+
+def make_code_lengths_batch(freqs: np.ndarray, alphas: np.ndarray,
+                            max_len: int = 17) -> np.ndarray:
+    """freqs: (L, 258) int32; alphas: (L,) int32 -> (L, 258) int32."""
+    lib = _load()
+    freqs = np.ascontiguousarray(freqs, dtype=np.int32)
+    alphas = np.ascontiguousarray(alphas, dtype=np.int32)
+    out = np.zeros_like(freqs)
+    lib.bz2tpu_make_code_lengths(
+        freqs.ctypes.data_as(ct.c_void_p), alphas.ctypes.data_as(ct.c_void_p),
+        np.int32(freqs.shape[0]), np.int32(max_len),
+        out.ctypes.data_as(ct.c_void_p))
+    return out
+
+
+# error code -> exception mapping is done by the caller (api/file layers)
+BZT_OK = 0
+BZT_DATA_ERROR = -4
+BZT_DATA_ERROR_MAGIC = -5
+BZT_UNEXPECTED_EOF = -7
+BZT_MEM_ERROR = -3
+
+
+def decompress(data, multi_stream: bool = False):
+    """Returns (bytes, consumed, errcode); bytes is None on error."""
+    lib = _load()
+    buf = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data)
+    out_p = ct.c_void_p()
+    out_len = ct.c_int64()
+    consumed = ct.c_int64()
+    rc = lib.bz2tpu_decompress(
+        buf.ctypes.data_as(ct.c_void_p), buf.size,
+        1 if multi_stream else 0,
+        ct.byref(out_p), ct.byref(out_len), ct.byref(consumed))
+    if rc != BZT_OK:
+        return None, 0, rc
+    try:
+        res = ct.string_at(out_p.value, out_len.value) if out_len.value else b""
+    finally:
+        lib.bz2tpu_free(out_p)
+    return res, int(consumed.value), rc

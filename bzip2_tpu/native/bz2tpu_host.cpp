@@ -1,0 +1,554 @@
+// bz2tpu host runtime: the serial, latency-bound pieces of the codec that a
+// TPU is the wrong tool for.  Everything here is a from-scratch
+// implementation of the .bz2 format semantics (documented against the
+// reference in bzip2_tpu/oracle/*.py); no reference code is used.
+//
+//   * bz2tpu_make_code_lengths  — batched reference-exact Huffman length
+//     construction (heap discipline documented in oracle/huffman.py),
+//     called by the hybrid TPU encode path between device stages.
+//   * bz2tpu_decompress         — complete .bz2 stream decoder (header
+//     parse, canonical Huffman w/ fast first-bits table, MTF/RLE2, inverse
+//     BWT, RLE1, both CRC layers, multi-stream + trailing garbage).
+//   * bz2tpu_crc32              — CRC-32/BZIP2 (slice-by-8).
+//
+// Build: g++ -O3 -shared -fPIC (see build.py).  ABI: plain C, ctypes.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <new>
+
+extern "C" {
+
+typedef uint8_t  u8;
+typedef uint16_t u16;
+typedef int16_t  i16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef int32_t  i32;
+typedef int64_t  i64;
+
+// ---------------------------------------------------------------- errors --
+enum {
+  BZT_OK = 0,
+  BZT_STREAM_END = 4,
+  BZT_DATA_ERROR = -4,
+  BZT_DATA_ERROR_MAGIC = -5,
+  BZT_UNEXPECTED_EOF = -7,
+  BZT_OUTBUFF_FULL = -8,
+  BZT_MEM_ERROR = -3,
+};
+
+// ------------------------------------------------------------------- CRC --
+static u32 g_crc_tab[8][256];
+static bool g_crc_init = false;
+
+static void crc_init() {
+  if (g_crc_init) return;
+  for (u32 i = 0; i < 256; i++) {
+    u32 c = i << 24;
+    for (int k = 0; k < 8; k++)
+      c = (c & 0x80000000u) ? (c << 1) ^ 0x04c11db7u : (c << 1);
+    g_crc_tab[0][i] = c;
+  }
+  for (int s = 1; s < 8; s++)
+    for (u32 i = 0; i < 256; i++) {
+      u32 prev = g_crc_tab[s - 1][i];
+      g_crc_tab[s][i] = (prev << 8) ^ g_crc_tab[0][prev >> 24];
+    }
+  g_crc_init = true;
+}
+
+static inline u32 crc_byte(u32 crc, u8 b) {
+  return (crc << 8) ^ g_crc_tab[0][(crc >> 24) ^ b];
+}
+
+u32 bz2tpu_crc32(const u8* data, i64 n) {
+  crc_init();
+  u32 c = 0xffffffffu;
+  i64 i = 0;
+  for (; i + 8 <= n; i += 8) {
+    u32 hi = (u32(data[i]) << 24) | (u32(data[i + 1]) << 16) |
+             (u32(data[i + 2]) << 8) | u32(data[i + 3]);
+    hi ^= c;
+    c = g_crc_tab[7][hi >> 24] ^ g_crc_tab[6][(hi >> 16) & 0xff] ^
+        g_crc_tab[5][(hi >> 8) & 0xff] ^ g_crc_tab[4][hi & 0xff] ^
+        g_crc_tab[3][data[i + 4]] ^ g_crc_tab[2][data[i + 5]] ^
+        g_crc_tab[1][data[i + 6]] ^ g_crc_tab[0][data[i + 7]];
+  }
+  for (; i < n; i++) c = crc_byte(c, data[i]);
+  return ~c;
+}
+
+// ------------------------------------------------- Huffman length builder --
+// Reference-exact discipline: packed keys (weight<<8)|depth, strict-< sift
+// up, sift down taking the right child only when strictly smaller,
+// insertion order 1..alpha, parent (w1+w2)|(1+max(d1,d2)), halve+retry when
+// depth > max_len.  See oracle/huffman.py for the semantic contract.
+static void huff_lengths_one(const i32* freq, i32 alpha, i32 max_len,
+                             i32* out_len) {
+  i32 weight[258 * 2 + 2];
+  i32 parent[258 * 2 + 2];
+  i32 heap[258 + 2];
+  i32 leaf[258 + 1];
+
+  for (i32 i = 0; i < alpha; i++)
+    leaf[i + 1] = (freq[i] ? freq[i] : 1) << 8;
+
+  for (;;) {
+    i32 n_nodes = alpha, n_heap = 0;
+    heap[0] = 0;
+    weight[0] = 0;
+    parent[0] = -2;
+    for (i32 i = 1; i <= alpha; i++) weight[i] = leaf[i];
+
+    for (i32 i = 1; i <= alpha; i++) {
+      parent[i] = -1;
+      n_heap++;
+      i32 zz = n_heap;
+      while (weight[i] < weight[heap[zz >> 1]]) {
+        heap[zz] = heap[zz >> 1];
+        zz >>= 1;
+      }
+      heap[zz] = i;
+    }
+
+    while (n_heap > 1) {
+      i32 picked[2];
+      for (int r = 0; r < 2; r++) {
+        picked[r] = heap[1];
+        i32 tmp = heap[n_heap--];
+        i32 zz = 1;
+        for (;;) {
+          i32 yy = zz << 1;
+          if (yy > n_heap) break;
+          if (yy < n_heap && weight[heap[yy + 1]] < weight[heap[yy]]) yy++;
+          if (weight[tmp] < weight[heap[yy]]) break;
+          heap[zz] = heap[yy];
+          zz = yy;
+        }
+        heap[zz] = tmp;
+      }
+      i32 nn = ++n_nodes;
+      parent[picked[0]] = parent[picked[1]] = nn;
+      i32 w1 = weight[picked[0]], w2 = weight[picked[1]];
+      i32 d1 = w1 & 0xff, d2 = w2 & 0xff;
+      weight[nn] = ((w1 & ~0xff) + (w2 & ~0xff)) | (1 + (d1 > d2 ? d1 : d2));
+      parent[nn] = -1;
+      i32 zz = ++n_heap;
+      while (weight[nn] < weight[heap[zz >> 1]]) {
+        heap[zz] = heap[zz >> 1];
+        zz >>= 1;
+      }
+      heap[zz] = nn;
+    }
+
+    bool too_long = false;
+    for (i32 i = 1; i <= alpha; i++) {
+      i32 d = 0, k = i;
+      while (parent[k] >= 0) { k = parent[k]; d++; }
+      out_len[i - 1] = d;
+      if (d > max_len) too_long = true;
+    }
+    if (!too_long) return;
+    for (i32 i = 1; i <= alpha; i++)
+      leaf[i] = (1 + ((leaf[i] >> 8) / 2)) << 8;
+  }
+}
+
+// freqs: L x 258 row-major; alphas: L; out: L x 258.
+void bz2tpu_make_code_lengths(const i32* freqs, const i32* alphas, i32 lanes,
+                              i32 max_len, i32* out) {
+  for (i32 l = 0; l < lanes; l++) {
+    huff_lengths_one(freqs + (i64)l * 258, alphas[l], max_len,
+                     out + (i64)l * 258);
+  }
+}
+
+// --------------------------------------------------------------- decoder --
+struct BitRd {
+  const u8* p;
+  const u8* end;
+  u64 buf = 0;
+  int n = 0;  // valid low bits of buf
+
+  bool fill() {
+    while (n <= 56 && p < end) { buf = (buf << 8) | *p++; n += 8; }
+    return n > 0;
+  }
+  // peek up to 32 bits (zero-padded past EOF)
+  inline u32 peek(int k) {
+    if (n < k) fill();
+    if (n >= k) return (u32)((buf >> (n - k)) & ((1u << k) - 1));
+    // past EOF: pad with zeros
+    return (u32)((buf << (k - n)) & ((1u << k) - 1));
+  }
+  inline bool have(int k) {
+    if (n < k) fill();
+    return n >= k;
+  }
+  inline void drop(int k) { n -= k; }
+  inline i64 bit_pos(const u8* base) const { return (p - base) * 8 - n; }
+};
+
+struct Group {
+  i32 limit[25];   // max code value per length
+  i32 base[25];    // code - base = perm index
+  i32 min_len, max_len;
+  i16 perm[258];
+  // fast table: FAST_BITS-wide prefix -> (sym<<5)|len when len<=FAST_BITS
+  enum { FAST_BITS = 10 };
+  i32 fast[1 << FAST_BITS];
+};
+
+static bool build_group(Group& g, const u8* lens, i32 alpha) {
+  i32 cnt[25];
+  memset(cnt, 0, sizeof cnt);
+  g.min_len = 24; g.max_len = 0;
+  for (i32 i = 0; i < alpha; i++) {
+    i32 l = lens[i];
+    if (l < 1 || l > 23) return false;
+    cnt[l]++;
+    if (l < g.min_len) g.min_len = l;
+    if (l > g.max_len) g.max_len = l;
+  }
+  // canonical perm: stable by (length, symbol)
+  i32 idx[25];
+  i32 acc = 0;
+  for (i32 l = g.min_len; l <= g.max_len; l++) { idx[l] = acc; acc += cnt[l]; }
+  for (i32 i = 0; i < alpha; i++) g.perm[idx[lens[i]]++] = (i16)i;
+  // limits/bases + Kraft completeness
+  i64 code = 0, total = 0;
+  u64 kraft = 0;
+  for (i32 l = g.min_len; l <= g.max_len; l++) {
+    g.base[l] = (i32)(code - total);
+    code += cnt[l];
+    total += cnt[l];
+    g.limit[l] = (i32)(code - 1);
+    kraft += (u64)cnt[l] << (g.max_len - l);
+    code <<= 1;
+  }
+  if (kraft != (1ull << g.max_len)) return false;
+  // fast table
+  for (i32 v = 0; v < (1 << Group::FAST_BITS); v++) g.fast[v] = -1;
+  i64 c2 = 0;
+  i32 pi = 0;
+  for (i32 l = g.min_len; l <= g.max_len; l++) {
+    if (l > Group::FAST_BITS) break;
+    for (i32 k = 0; k < cnt[l]; k++, pi++, c2++) {
+      i32 lo = (i32)(c2 << (Group::FAST_BITS - l));
+      i32 hi = lo + (1 << (Group::FAST_BITS - l));
+      for (i32 v = lo; v < hi; v++) g.fast[v] = (g.perm[pi] << 5) | l;
+    }
+    c2 <<= 1;
+  }
+  return true;
+}
+
+struct OutBuf {
+  u8* p = nullptr;
+  i64 len = 0, cap = 0;
+  bool grow(i64 need) {
+    if (len + need <= cap) return true;
+    i64 nc = cap ? cap : (1 << 20);
+    while (nc < len + need) nc *= 2;
+    u8* np = (u8*)realloc(p, nc);
+    if (!np) return false;
+    p = np; cap = nc;
+    return true;
+  }
+};
+
+// Randomisation schedule for legacy streams; table injected from Python
+// (format-mandated constants, see bzip2_tpu/rand_table.py).
+static i32 g_rnums[512];
+static bool g_rnums_set = false;
+void bz2tpu_set_rnums(const i32* r) {
+  memcpy(g_rnums, r, sizeof g_rnums);
+  g_rnums_set = true;
+}
+
+struct RandState {
+  i32 n_to_go = 0, idx = 0;
+  inline int next_mask() {
+    if (n_to_go == 0) { n_to_go = g_rnums[idx]; idx = (idx + 1) & 511; }
+    n_to_go--;
+    return n_to_go == 1 ? 1 : 0;
+  }
+};
+
+#define NEED(k) do { if (!br.have(k)) { err = BZT_UNEXPECTED_EOF; goto done; } } while (0)
+#define GET(v, k) do { NEED(k); v = br.peek(k); br.drop(k); } while (0)
+
+// Decode all streams in [data, data+len).  flags bit0: multi-stream.
+// Returns BZT_OK and sets *out/*out_len (caller frees with bz2tpu_free);
+// *consumed = bytes of input consumed (start of trailing garbage).
+i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
+                      i64* out_len, i64* consumed) {
+  crc_init();
+  BitRd br{data, data + len};
+  OutBuf ob;
+  i32 err = BZT_OK;
+  int streams_done = 0;
+  bool multi = (flags & 1) != 0;
+
+  u32* tt = nullptr;       // successor array
+  u8* blk = nullptr;       // decoded MTF output (BWT column)
+  i32 blk_cap = 0;
+
+  while (true) {  // stream loop
+    u32 h = 0;
+    if (!br.have(8)) break;  // clean end after >= 0 complete streams
+    if (!br.have(32)) {
+      if (streams_done && multi) break;  // short trailing garbage
+      err = streams_done ? BZT_DATA_ERROR_MAGIC : BZT_DATA_ERROR_MAGIC;
+      goto done;
+    }
+    {  // stream header: peek, validate, then consume
+      u32 hdr = br.peek(32);
+      u32 b3 = hdr & 0xff;
+      if ((hdr >> 8) != 0x425a68u || b3 < 0x31 || b3 > 0x39) {
+        if (streams_done && multi) break;  // tolerated trailing garbage
+        err = BZT_DATA_ERROR_MAGIC; goto done;
+      }
+      br.drop(32);
+      h = b3 - 0x30;
+    }
+    if (streams_done == 0 && !br.have(8)) { err = BZT_UNEXPECTED_EOF; goto done; }
+    {
+      i32 max_block = 100000 * (i32)h;
+      if (max_block > blk_cap) {
+        free(tt); free(blk);
+        tt = (u32*)malloc((i64)max_block * 4);
+        blk = (u8*)malloc(max_block);
+        if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
+        blk_cap = max_block;
+      }
+      u32 combined = 0;
+
+      while (true) {  // block loop
+        u32 mag_hi, mag_lo;
+        GET(mag_hi, 24); GET(mag_lo, 24);
+        if (mag_hi == 0x177245 && mag_lo == 0x385090) {
+          u32 stored_comb;
+          GET(stored_comb, 16);
+          u32 lo16; GET(lo16, 16);
+          stored_comb = (stored_comb << 16) | lo16;
+          if (stored_comb != combined) { err = BZT_DATA_ERROR; goto done; }
+          break;  // end of stream
+        }
+        if (mag_hi != 0x314159 || mag_lo != 0x265359) {
+          err = BZT_DATA_ERROR; goto done;
+        }
+        u32 stored_crc, w;
+        GET(stored_crc, 16); GET(w, 16);
+        stored_crc = (stored_crc << 16) | w;
+        u32 randomised; GET(randomised, 1);
+        if (randomised && !g_rnums_set) { err = BZT_DATA_ERROR; goto done; }
+        u32 orig_ptr; GET(orig_ptr, 24);
+        if ((i32)orig_ptr > max_block) { err = BZT_DATA_ERROR; goto done; }
+
+        // symbol map
+        u8 used[256];
+        i32 n_used = 0;
+        u32 gmask; GET(gmask, 16);
+        for (i32 gi = 0; gi < 16; gi++) {
+          if (gmask & (0x8000u >> gi)) {
+            u32 bits; GET(bits, 16);
+            for (i32 j = 0; j < 16; j++)
+              if (bits & (0x8000u >> j)) used[n_used++] = (u8)(gi * 16 + j);
+          }
+        }
+        if (n_used == 0) { err = BZT_DATA_ERROR; goto done; }
+        i32 alpha = n_used + 2, eob = n_used + 1;
+
+        u32 n_groups, n_selectors;
+        GET(n_groups, 3); GET(n_selectors, 15);
+        if (n_groups < 2 || n_groups > 6) { err = BZT_DATA_ERROR; goto done; }
+        if (n_selectors < 1 || n_selectors > 18002) {  // CVE-2010-0405 guard
+          err = BZT_DATA_ERROR; goto done;
+        }
+        u8 sel_mtf[18002];
+        for (u32 i = 0; i < n_selectors; i++) {
+          i32 v = 0;
+          for (;;) {
+            u32 b; GET(b, 1);
+            if (!b) break;
+            if (++v >= (i32)n_groups) { err = BZT_DATA_ERROR; goto done; }
+          }
+          sel_mtf[i] = (u8)v;
+        }
+        u8* selectors = sel_mtf;  // un-MTF in place (read-before-write)
+        {
+          u8 pos[6] = {0, 1, 2, 3, 4, 5};
+          for (u32 i = 0; i < n_selectors; i++) {
+            i32 v = sel_mtf[i];
+            u8 tmp = pos[v];
+            for (; v > 0; v--) pos[v] = pos[v - 1];
+            pos[0] = tmp;
+            selectors[i] = tmp;
+          }
+        }
+
+        Group groups[6];
+        for (u32 t = 0; t < n_groups; t++) {
+          u32 curr; GET(curr, 5);
+          u8 lens[258];
+          for (i32 v = 0; v < alpha; v++) {
+            for (;;) {
+              if (curr < 1 || curr > 20) { err = BZT_DATA_ERROR; goto done; }
+              u32 b; GET(b, 1);
+              if (!b) break;
+              u32 d; GET(d, 1);
+              curr += d ? -1 : 1;
+            }
+            lens[v] = (u8)curr;
+          }
+          if (!build_group(groups[t], lens, alpha)) {
+            err = BZT_DATA_ERROR; goto done;
+          }
+        }
+
+        // MTF / RLE2 symbol loop
+        u8 mtf[256];
+        memcpy(mtf, used, n_used);
+        i32 cftab[257];
+        memset(cftab, 0, sizeof cftab);
+        i32 n = 0;
+        i32 group_no = -1, group_pos = 0;
+        Group* gr = nullptr;
+        i64 run = 0;
+        i32 run_bit = 0;
+        for (;;) {
+          if (group_pos == 0) {
+            if (++group_no >= (i32)n_selectors) { err = BZT_DATA_ERROR; goto done; }
+            gr = &groups[selectors[group_no]];
+            group_pos = 50;
+          }
+          group_pos--;
+          // decode one symbol
+          i32 sym;
+          {
+            u32 v = br.peek(Group::FAST_BITS);
+            i32 f = gr->fast[v];
+            if (f >= 0 && br.have(f & 31)) {
+              sym = f >> 5;
+              br.drop(f & 31);
+            } else {
+              i32 l = gr->min_len;
+              NEED(l);
+              i32 code = br.peek(l);
+              while (code > gr->limit[l]) {
+                if (l >= gr->max_len) { err = BZT_DATA_ERROR; goto done; }
+                l++;
+                NEED(l);
+                code = br.peek(l);
+              }
+              br.drop(l);
+              sym = gr->perm[code - gr->base[l]];
+            }
+          }
+          if (sym <= 1) {  // RUNA/RUNB
+            if (run_bit >= 31) { err = BZT_DATA_ERROR; goto done; }
+            run += (i64)(sym + 1) << run_bit;
+            run_bit++;
+            continue;
+          }
+          if (run) {
+            if (n + run > max_block) { err = BZT_DATA_ERROR; goto done; }
+            u8 c = mtf[0];
+            cftab[c + 1] += (i32)run;
+            memset(blk + n, c, run);
+            n += (i32)run;
+            run = 0; run_bit = 0;
+          }
+          if (sym == eob) break;
+          // MTF update
+          i32 p = sym - 1;
+          u8 c = mtf[p];
+          memmove(mtf + 1, mtf, p);
+          mtf[0] = c;
+          if (n >= max_block) { err = BZT_DATA_ERROR; goto done; }
+          cftab[c + 1]++;
+          blk[n++] = c;
+        }
+        if (n == 0 || (i32)orig_ptr >= n) { err = BZT_DATA_ERROR; goto done; }
+
+        // inverse BWT: A = stable counting order; walk successor chain.
+        for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
+        for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = i;
+        // walk + RLE1 expansion + CRC (+ optional derandomisation)
+        {
+          if (!ob.grow((i64)n + 8)) { err = BZT_MEM_ERROR; goto done; }
+          u32 crc = 0xffffffffu;
+          RandState rs;
+          u32 pos = tt[orig_ptr];
+          i32 left = n;
+          i32 run_ch = -1, run_len = 0;
+          while (left > 0) {
+            u8 ch = blk[pos];
+            pos = tt[pos];
+            left--;
+            if (randomised) {
+              ch ^= (u8)rs.next_mask();
+            }
+            if ((i32)ch == run_ch) {
+              run_len++;
+            } else {
+              run_ch = ch; run_len = 1;
+            }
+            if (!ob.grow(1)) { err = BZT_MEM_ERROR; goto done; }
+            ob.p[ob.len++] = ch;
+            crc = crc_byte(crc, ch);
+            if (run_len == 4) {
+              // next block byte is a repeat count
+              if (left == 0) { err = BZT_DATA_ERROR; goto done; }
+              u8 cnt = blk[pos];
+              pos = tt[pos];
+              left--;
+              if (randomised) cnt ^= (u8)rs.next_mask();
+              if (cnt) {
+                if (!ob.grow(cnt)) { err = BZT_MEM_ERROR; goto done; }
+                memset(ob.p + ob.len, ch, cnt);
+                ob.len += cnt;
+                for (i32 k = 0; k < cnt; k++) crc = crc_byte(crc, ch);
+              }
+              run_ch = -1; run_len = 0;
+            }
+          }
+          crc = ~crc;
+          if (crc != stored_crc) { err = BZT_DATA_ERROR; goto done; }
+          combined = ((combined << 1) | (combined >> 31)) ^ crc;
+        }
+      }  // block loop
+
+      streams_done++;
+      // streams are byte aligned
+      br.drop(br.n & 7);
+      if (!multi) break;
+      if (br.p >= br.end && br.n < 8) break;
+    }
+  }  // stream loop
+
+done:
+  free(tt);
+  free(blk);
+  if (err == BZT_OK || err == BZT_STREAM_END) {
+    *out = ob.p;
+    *out_len = ob.len;
+    if (consumed) {
+      i64 bitpos = (br.p - data) * 8 - br.n;
+      *consumed = (bitpos + 7) / 8;
+    }
+    return BZT_OK;
+  }
+  free(ob.p);
+  *out = nullptr;
+  *out_len = 0;
+  if (consumed) *consumed = 0;
+  return err;
+}
+
+void bz2tpu_free(u8* p) { free(p); }
+
+}  // extern "C"
