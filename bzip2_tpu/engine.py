@@ -30,6 +30,7 @@ from . import rle1 as _rle1
 from .bitstream import BitWriter, splice
 from .ops.bitpack import pack_fields
 from .ops.bwt import bwt_batched
+from .ops.groupsearch import group_iter as group_iter_jit
 from .ops.groupsearch import group_search_batched
 from .ops.mtf import mtf_rle2_batched
 
@@ -130,9 +131,49 @@ def encode_batch_device(blocks, n, in_use, crc, n_words: int):
     return pack_fields(vals, flens, n_words)
 
 
+# --- hybrid path: device stages with the exact-heap Huffman on the host ---
+# (C++ runtime; tiny serial heaps are the one stage a TPU is wrong for).
+
+MTF_TILE = 2048
+
+
+def encode_pre(blocks, n, in_use):
+    from .ops.groupsearch import (build_group_hist, initial_tables_batched,
+                                  n_groups_batched)
+
+    last, orig_ptr, _ = bwt_batched(blocks, n)
+    mtfv, n_mtf, freq, n_in_use = mtf_rle2_batched(last, n, in_use,
+                                                   tile=MTF_TILE)
+    n_groups = n_groups_batched(n_mtf)
+    lens0 = initial_tables_batched(freq, n_mtf, n_in_use + 2, n_groups)
+    hist_bf = build_group_hist(mtfv, n_mtf).astype(jnp.bfloat16)
+    table_invalid = (jnp.arange(6, dtype=jnp.int32)[None, :]
+                     >= n_groups[:, None])
+    return (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens0, hist_bf,
+            table_invalid)
+
+
+def encode_post(mtfv, n_mtf, n_in_use, in_use, crc, orig_ptr, n_groups,
+                selectors, lens, n_words: int):
+    from .ops.groupsearch import selector_mtf
+    from .ops.huffman import assign_codes_lanes
+
+    B = mtfv.shape[0]
+    alpha = n_in_use + 2
+    codes = assign_codes_lanes(
+        lens.reshape(B * 6, A),
+        jnp.broadcast_to(alpha[:, None], (B, 6)).reshape(B * 6)).reshape(B, 6, A)
+    n_selectors = -(-n_mtf // C.G_SIZE)
+    sel_mtf = selector_mtf(selectors, n_selectors)
+    vals, flens = _emit_fields(None, None, in_use, crc, orig_ptr, mtfv, n_mtf,
+                               n_in_use, n_groups, n_selectors, sel_mtf, lens,
+                               codes, selectors)
+    return pack_fields(vals, flens, n_words)
+
+
 def _block_pad_size(level: int) -> int:
     n = C.nblock_max(level) + C.BLOCK_OVERSHOOT
-    return -(-n // 1024) * 1024
+    return -(-n // MTF_TILE) * MTF_TILE
 
 
 def _words_for(N: int) -> int:
@@ -141,20 +182,65 @@ def _words_for(N: int) -> int:
 
 
 class Engine:
-    """Batched TPU encoder with per-(level, batch) compile caching."""
+    """Batched TPU encoder with per-(level, batch) compile caching.
 
-    def __init__(self, batch_size: int = 4):
+    mode "hybrid" (default when the native runtime is built): device runs
+    BWT/MTF/group-search matmuls/bit packing; the 4 Huffman rebuilds per
+    batch run in C++ on the host (25 KB/iter transfers).  mode "fused": the
+    whole encoder in a single jit (used by the graft entry / sharding
+    dryrun; also the fallback without a compiler).
+    """
+
+    def __init__(self, batch_size: int = 4, mode: str | None = None):
         self.batch_size = batch_size
+        if mode is None:
+            try:
+                from . import native
+                mode = "hybrid" if native.available() else "fused"
+            except Exception:
+                mode = "fused"
+        self.mode = mode
         self._compiled = {}
 
-    def _fn(self, level: int, bsz: int):
-        key = (level, bsz)
+    def _fns(self, level: int, bsz: int):
+        key = (level, bsz, self.mode)
         if key not in self._compiled:
             N = _block_pad_size(level)
             W = _words_for(N)
-            self._compiled[key] = jax.jit(
-                functools.partial(encode_batch_device, n_words=W))
+            if self.mode == "fused":
+                self._compiled[key] = jax.jit(
+                    functools.partial(encode_batch_device, n_words=W))
+            else:
+                self._compiled[key] = (
+                    jax.jit(encode_pre),
+                    jax.jit(group_iter_jit),
+                    jax.jit(functools.partial(encode_post, n_words=W)),
+                )
         return self._compiled[key]
+
+    def _encode_batch(self, level, arr, ns, uses, crcs):
+        fns = self._fns(level, arr.shape[0])
+        if self.mode == "fused":
+            words, nbits = fns(jnp.asarray(arr), jnp.asarray(ns),
+                               jnp.asarray(uses), jnp.asarray(crcs))
+            return np.asarray(words), np.asarray(nbits)
+        from . import native
+        f_pre, f_iter, f_post = fns
+        (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens, hist_bf,
+         table_invalid) = f_pre(jnp.asarray(arr), jnp.asarray(ns),
+                                jnp.asarray(uses))
+        B = arr.shape[0]
+        alpha6 = np.repeat(np.asarray(n_in_use) + 2, 6).astype(np.int32)
+        selectors = None
+        for _ in range(C.N_ITERS):
+            selectors, freq6 = f_iter(hist_bf, lens, table_invalid)
+            freq_np = np.asarray(freq6).reshape(B * 6, A)
+            lens_np = native.make_code_lengths_batch(freq_np, alpha6)
+            lens = jnp.asarray(lens_np.reshape(B, 6, A))
+        words, nbits = f_post(mtfv, n_mtf, n_in_use, jnp.asarray(uses),
+                              jnp.asarray(crcs), orig_ptr, n_groups,
+                              selectors, lens)
+        return np.asarray(words), np.asarray(nbits)
 
     def encode_payloads(self, blocks: list[_rle1.RLE1Block], level: int):
         """Encode RLE1 blocks into per-block (bytes, nbits) payloads."""
@@ -175,11 +261,7 @@ class Engine:
                 ns[j] = blk.data.size
                 uses[j] = blk.in_use
                 crcs[j] = blk.crc
-            fn = self._fn(level, pad_to)
-            words, nbits = fn(jnp.asarray(arr), jnp.asarray(ns),
-                              jnp.asarray(uses), jnp.asarray(crcs))
-            words = np.asarray(words)
-            nbits = np.asarray(nbits)
+            words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
             for j in range(nb):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]

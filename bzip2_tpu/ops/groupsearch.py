@@ -101,6 +101,33 @@ def build_group_hist(mtfv: jnp.ndarray, n_mtf: jnp.ndarray):
     return hist.reshape(B, G, A)
 
 
+def group_iter(hist_bf, lens, table_invalid):
+    """One refinement pass: (B,G,A) bf16 hist, (B,6,A) int32 lens ->
+    (selectors (B,G) int32, freq6 (B,6,A) int32)."""
+    cost = jax.lax.dot_general(
+        hist_bf, lens.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    cost = cost + jnp.where(table_invalid, 1e9, 0.0)[:, None, :]
+    selectors = jnp.argmin(cost, axis=2).astype(jnp.int32)
+    onehot = (selectors[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :])
+    freq6 = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), hist_bf,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    return selectors, freq6
+
+
+def selector_mtf(selectors, n_selectors):
+    """MTF-code the selector stream; returns (B,G) values in 1..6 (0 pad)."""
+    B, G = selectors.shape
+    Gp = -(-G // 64) * 64
+    sel_pad = jnp.pad(selectors, ((0, 0), (0, Gp - G)))
+    gvalid = jnp.arange(Gp, dtype=jnp.int32)[None, :] < n_selectors[:, None]
+    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=64)
+    return jnp.where(gvalid[:, :G], ranks[:, :G] + 1, 0)
+
+
 def group_search_batched(mtfv, n_mtf, freq, n_in_use):
     """Returns (n_groups (B,), n_selectors (B,), selectors (B, G),
     sel_mtf (B, G) MTF-coded selector values (1..6), lens (B,6,A),
@@ -114,23 +141,11 @@ def group_search_batched(mtfv, n_mtf, freq, n_in_use):
     hist = build_group_hist(mtfv, n_mtf)                  # (B, G, A)
     hist_bf = hist.astype(jnp.bfloat16)
     G = hist.shape[1]
-    t_arange = jnp.arange(6, dtype=jnp.int32)
-    table_invalid = (t_arange[None, :] >= n_groups[:, None])  # (B, 6)
+    table_invalid = (jnp.arange(6, dtype=jnp.int32)[None, :] >= n_groups[:, None])
 
     selectors = jnp.zeros((B, G), jnp.int32)
     for _ in range(N_ITERS):
-        cost = jax.lax.dot_general(
-            hist_bf, lens.astype(jnp.bfloat16),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # (B, G, 6)
-        cost = cost + jnp.where(table_invalid, 1e9, 0.0)[:, None, :]
-        selectors = jnp.argmin(cost, axis=2).astype(jnp.int32)
-        onehot = (selectors[:, :, None] == t_arange[None, None, :])
-        new_freq = jax.lax.dot_general(
-            onehot.astype(jnp.bfloat16), hist_bf,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # (B, 6, A)
-        new_freq = new_freq.astype(jnp.int32)
+        selectors, new_freq = group_iter(hist_bf, lens, table_invalid)
         lens = make_code_lengths_lanes(
             new_freq.reshape(B * 6, A),
             jnp.broadcast_to(alpha[:, None], (B, 6)).reshape(B * 6)
@@ -139,12 +154,5 @@ def group_search_batched(mtfv, n_mtf, freq, n_in_use):
     codes = assign_codes_lanes(lens.reshape(B * 6, A),
                                jnp.broadcast_to(alpha[:, None], (B, 6)).reshape(B * 6)
                                ).reshape(B, 6, A)
-
-    # Selector MTF over the 6-symbol alphabet (reference compress.c:573-631);
-    # emitted value is position + 1.
-    Gp = -(-G // 64) * 64
-    sel_pad = jnp.pad(selectors, ((0, 0), (0, Gp - G)))
-    gvalid = jnp.arange(Gp, dtype=jnp.int32)[None, :] < n_selectors[:, None]
-    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=64)
-    sel_mtf = jnp.where(gvalid[:, :G], ranks[:, :G] + 1, 0)
+    sel_mtf = selector_mtf(selectors, n_selectors)
     return n_groups, n_selectors, selectors, sel_mtf, lens, codes
