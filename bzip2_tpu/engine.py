@@ -181,6 +181,10 @@ def _words_for(N: int) -> int:
     return (17 * (N + 1) + 6 * A * 3 + C.MAX_SELECTORS * 6 + 4096) // 32 + 4
 
 
+def lax_slice_words(words, k: int):
+    return words[:, :k]
+
+
 class Engine:
     """Batched TPU encoder with per-(level, batch) compile caching.
 
@@ -191,8 +195,13 @@ class Engine:
     dryrun; also the fallback without a compiler).
     """
 
-    def __init__(self, batch_size: int = 4, mode: str | None = None):
+    #: target bytes of input per device batch when batch_size is automatic
+    AUTO_BATCH_BYTES = 8 << 20
+
+    def __init__(self, batch_size: int | None = None, mode: str | None = None,
+                 pipeline: int = 2):
         self.batch_size = batch_size
+        self.pipeline = max(1, pipeline)
         if mode is None:
             try:
                 from . import native
@@ -201,6 +210,25 @@ class Engine:
                 mode = "fused"
         self.mode = mode
         self._compiled = {}
+        self._slicers = {}
+
+    def _batch_size_for(self, level: int) -> int:
+        if self.batch_size is not None:
+            return self.batch_size
+        return max(1, self.AUTO_BATCH_BYTES // (C.BLOCK_UNIT * level))
+
+    def _slice_words(self, words_dev, nbits_np):
+        """Fetch only the used prefix of the words buffer (bucketed static
+        slice sizes keep recompiles bounded; the tunnel makes every byte of
+        d2h expensive)."""
+        need = int((int(nbits_np.max()) + 31) // 32)
+        bucket = 1 << max(10, need - 1).bit_length()
+        bucket = min(bucket, words_dev.shape[1])
+        key = (words_dev.shape, bucket)
+        if key not in self._slicers:
+            self._slicers[key] = jax.jit(
+                functools.partial(lax_slice_words, k=bucket))
+        return np.asarray(self._slicers[key](words_dev))
 
     def _fns(self, level: int, bsz: int):
         key = (level, bsz, self.mode)
@@ -219,38 +247,46 @@ class Engine:
         return self._compiled[key]
 
     def _encode_batch(self, level, arr, ns, uses, crcs):
+        """Run one device batch; returns (words_np, nbits_np) with words
+        fetched through a bucketed device-side slice."""
         fns = self._fns(level, arr.shape[0])
         if self.mode == "fused":
             words, nbits = fns(jnp.asarray(arr), jnp.asarray(ns),
                                jnp.asarray(uses), jnp.asarray(crcs))
-            return np.asarray(words), np.asarray(nbits)
-        from . import native
-        f_pre, f_iter, f_post = fns
-        (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens, hist_bf,
-         table_invalid) = f_pre(jnp.asarray(arr), jnp.asarray(ns),
-                                jnp.asarray(uses))
-        B = arr.shape[0]
-        alpha6 = np.repeat(np.asarray(n_in_use) + 2, 6).astype(np.int32)
-        selectors = None
-        for _ in range(C.N_ITERS):
-            selectors, freq6 = f_iter(hist_bf, lens, table_invalid)
-            freq_np = np.asarray(freq6).reshape(B * 6, A)
-            lens_np = native.make_code_lengths_batch(freq_np, alpha6)
-            lens = jnp.asarray(lens_np.reshape(B, 6, A))
-        words, nbits = f_post(mtfv, n_mtf, n_in_use, jnp.asarray(uses),
-                              jnp.asarray(crcs), orig_ptr, n_groups,
-                              selectors, lens)
-        return np.asarray(words), np.asarray(nbits)
+        else:
+            from . import native
+            f_pre, f_iter, f_post = fns
+            (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens, hist_bf,
+             table_invalid) = f_pre(jnp.asarray(arr), jnp.asarray(ns),
+                                    jnp.asarray(uses))
+            B = arr.shape[0]
+            alpha6 = np.repeat(np.asarray(n_in_use) + 2, 6).astype(np.int32)
+            selectors = None
+            for _ in range(C.N_ITERS):
+                selectors, freq6 = f_iter(hist_bf, lens, table_invalid)
+                freq_np = np.asarray(freq6).reshape(B * 6, A)
+                lens_np = native.make_code_lengths_batch(freq_np, alpha6)
+                lens = jnp.asarray(lens_np.reshape(B, 6, A))
+            words, nbits = f_post(mtfv, n_mtf, n_in_use, jnp.asarray(uses),
+                                  jnp.asarray(crcs), orig_ptr, n_groups,
+                                  selectors, lens)
+        nbits_np = np.asarray(nbits)
+        return self._slice_words(words, nbits_np), nbits_np
 
     def encode_payloads(self, blocks: list[_rle1.RLE1Block], level: int):
-        """Encode RLE1 blocks into per-block (bytes, nbits) payloads."""
+        """Encode RLE1 blocks into per-block (bytes, nbits) payloads.
+
+        Batches run on ``pipeline`` worker threads so one batch's device
+        compute overlaps another's host work and tunnel transfers; results
+        are emitted in block order.
+        """
         N = _block_pad_size(level)
-        out = []
-        bsz = self.batch_size
-        for i in range(0, len(blocks), bsz):
+        bsz = self._batch_size_for(level)
+
+        def prep(i):
             chunk = blocks[i:i + bsz]
             nb = len(chunk)
-            pad_to = bsz if len(blocks) > bsz else nb  # small files: exact batch
+            pad_to = bsz if len(blocks) > bsz else nb
             arr = np.zeros((pad_to, N), np.uint8)
             ns = np.ones(pad_to, np.int32)
             uses = np.zeros((pad_to, 256), bool)
@@ -261,12 +297,32 @@ class Engine:
                 ns[j] = blk.data.size
                 uses[j] = blk.in_use
                 crcs[j] = blk.crc
+            return nb, arr, ns, uses, crcs
+
+        def run(i):
+            nb, arr, ns, uses, crcs = prep(i)
             words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
+            res = []
             for j in range(nb):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]
-                by = payload.byteswap().view(np.uint8)  # MSB-first byte order
-                out.append((by[: (nbit + 7) // 8], nbit))
+                by = payload.byteswap().view(np.uint8)  # MSB-first bytes
+                res.append((by[: (nbit + 7) // 8], nbit))
+            return res
+
+        starts = list(range(0, len(blocks), bsz))
+        if self.pipeline == 1 or len(starts) <= 1:
+            results = [run(i) for i in starts]
+        else:
+            # warm the compile cache single-threaded first
+            first = run(starts[0])
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(self.pipeline) as ex:
+                rest = list(ex.map(run, starts[1:]))
+            results = [first] + rest
+        out = []
+        for r in results:
+            out.extend(r)
         return out
 
     def compress(self, data, level: int = 9) -> bytes:

@@ -34,6 +34,12 @@ def _load():
         ct.c_void_p, ct.c_int64, ct.c_int32,
         ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_int64),
         ct.POINTER(ct.c_int64)]
+    lib.bz2tpu_decode_some.restype = ct.c_int32
+    lib.bz2tpu_decode_some.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int32, ct.c_uint32,
+        ct.POINTER(ct.c_void_p), ct.POINTER(ct.c_int64),
+        ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int32)]
     lib.bz2tpu_free.restype = None
     lib.bz2tpu_free.argtypes = [ct.c_void_p]
     lib.bz2tpu_set_rnums.restype = None
@@ -76,6 +82,36 @@ BZT_DATA_ERROR = -4
 BZT_DATA_ERROR_MAGIC = -5
 BZT_UNEXPECTED_EOF = -7
 BZT_MEM_ERROR = -3
+
+
+def decode_some(data, start_bit: int, level: int, combined: int):
+    """Incremental decode of complete blocks from start_bit.
+
+    Returns (out_bytes, next_bit, level, combined, status, errcode) where
+    status: 0 = need more input, 1 = stream end reached.  level 0 on input
+    means "expect a stream header".  out_bytes is None on error."""
+    lib = _load()
+    buf = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data)
+    out_p = ct.c_void_p()
+    out_len = ct.c_int64()
+    next_bit = ct.c_int64()
+    level_out = ct.c_int32()
+    combined_out = ct.c_uint32()
+    status = ct.c_int32()
+    rc = lib.bz2tpu_decode_some(
+        buf.ctypes.data_as(ct.c_void_p), buf.size, start_bit,
+        level, combined & 0xFFFFFFFF,
+        ct.byref(out_p), ct.byref(out_len), ct.byref(next_bit),
+        ct.byref(level_out), ct.byref(combined_out), ct.byref(status))
+    if rc != BZT_OK:
+        return None, start_bit, level, combined, 0, rc
+    try:
+        res = ct.string_at(out_p.value, out_len.value) if out_len.value else b""
+    finally:
+        lib.bz2tpu_free(out_p)
+    return (res, int(next_bit.value), int(level_out.value),
+            int(combined_out.value), int(status.value), rc)
 
 
 def decompress(data, multi_stream: bool = False):

@@ -277,8 +277,184 @@ struct RandState {
   }
 };
 
-#define NEED(k) do { if (!br.have(k)) { err = BZT_UNEXPECTED_EOF; goto done; } } while (0)
+#define NEED(k) do { if (!br.have(k)) return BZT_UNEXPECTED_EOF; } while (0)
 #define GET(v, k) do { NEED(k); v = br.peek(k); br.drop(k); } while (0)
+
+// Decode one block body (after the 48-bit block magic has been consumed).
+// Appends the block's raw bytes to ob and folds its CRC into *combined.
+// Returns BZT_OK / BZT_DATA_ERROR / BZT_UNEXPECTED_EOF / BZT_MEM_ERROR.
+static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
+                        OutBuf& ob, u32* combined) {
+  u32 stored_crc, w;
+  GET(stored_crc, 16); GET(w, 16);
+  stored_crc = (stored_crc << 16) | w;
+  u32 randomised; GET(randomised, 1);
+  if (randomised && !g_rnums_set) return BZT_DATA_ERROR;
+  u32 orig_ptr; GET(orig_ptr, 24);
+  if ((i32)orig_ptr > max_block) return BZT_DATA_ERROR;
+
+  // symbol map
+  u8 used[256];
+  i32 n_used = 0;
+  u32 gmask; GET(gmask, 16);
+  for (i32 gi = 0; gi < 16; gi++) {
+    if (gmask & (0x8000u >> gi)) {
+      u32 bits; GET(bits, 16);
+      for (i32 j = 0; j < 16; j++)
+        if (bits & (0x8000u >> j)) used[n_used++] = (u8)(gi * 16 + j);
+    }
+  }
+  if (n_used == 0) return BZT_DATA_ERROR;
+  i32 alpha = n_used + 2, eob = n_used + 1;
+
+  u32 n_groups, n_selectors;
+  GET(n_groups, 3); GET(n_selectors, 15);
+  if (n_groups < 2 || n_groups > 6) return BZT_DATA_ERROR;
+  if (n_selectors < 1 || n_selectors > 18002) return BZT_DATA_ERROR;  // CVE-2010-0405
+
+  u8 selectors[18002];
+  for (u32 i = 0; i < n_selectors; i++) {
+    i32 v = 0;
+    for (;;) {
+      u32 b; GET(b, 1);
+      if (!b) break;
+      if (++v >= (i32)n_groups) return BZT_DATA_ERROR;
+    }
+    selectors[i] = (u8)v;
+  }
+  {  // un-MTF in place (read-before-write per index)
+    u8 pos[6] = {0, 1, 2, 3, 4, 5};
+    for (u32 i = 0; i < n_selectors; i++) {
+      i32 v = selectors[i];
+      u8 tmp = pos[v];
+      for (; v > 0; v--) pos[v] = pos[v - 1];
+      pos[0] = tmp;
+      selectors[i] = tmp;
+    }
+  }
+
+  Group groups[6];
+  for (u32 t = 0; t < n_groups; t++) {
+    u32 curr; GET(curr, 5);
+    u8 lens[258];
+    for (i32 v = 0; v < alpha; v++) {
+      for (;;) {
+        if (curr < 1 || curr > 20) return BZT_DATA_ERROR;
+        u32 b; GET(b, 1);
+        if (!b) break;
+        u32 d; GET(d, 1);
+        curr += d ? -1 : 1;
+      }
+      lens[v] = (u8)curr;
+    }
+    if (!build_group(groups[t], lens, alpha)) return BZT_DATA_ERROR;
+  }
+
+  // MTF / RLE2 symbol loop
+  u8 mtf[256];
+  memcpy(mtf, used, n_used);
+  i32 cftab[257];
+  memset(cftab, 0, sizeof cftab);
+  i32 n = 0;
+  i32 group_no = -1, group_pos = 0;
+  Group* gr = nullptr;
+  i64 run = 0;
+  i32 run_bit = 0;
+  for (;;) {
+    if (group_pos == 0) {
+      if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
+      gr = &groups[selectors[group_no]];
+      group_pos = 50;
+    }
+    group_pos--;
+    i32 sym;
+    {
+      u32 v = br.peek(Group::FAST_BITS);
+      i32 f = gr->fast[v];
+      if (f >= 0 && br.have(f & 31)) {
+        sym = f >> 5;
+        br.drop(f & 31);
+      } else {
+        i32 l = gr->min_len;
+        NEED(l);
+        i32 code = br.peek(l);
+        while (code > gr->limit[l]) {
+          if (l >= gr->max_len) return BZT_DATA_ERROR;
+          l++;
+          NEED(l);
+          code = br.peek(l);
+        }
+        br.drop(l);
+        sym = gr->perm[code - gr->base[l]];
+      }
+    }
+    if (sym <= 1) {  // RUNA/RUNB
+      if (run_bit >= 31) return BZT_DATA_ERROR;
+      run += (i64)(sym + 1) << run_bit;
+      run_bit++;
+      continue;
+    }
+    if (run) {
+      if (n + run > max_block) return BZT_DATA_ERROR;
+      u8 c = mtf[0];
+      cftab[c + 1] += (i32)run;
+      memset(blk + n, c, run);
+      n += (i32)run;
+      run = 0; run_bit = 0;
+    }
+    if (sym == eob) break;
+    i32 p = sym - 1;
+    u8 c = mtf[p];
+    memmove(mtf + 1, mtf, p);
+    mtf[0] = c;
+    if (n >= max_block) return BZT_DATA_ERROR;
+    cftab[c + 1]++;
+    blk[n++] = c;
+  }
+  if (n == 0 || (i32)orig_ptr >= n) return BZT_DATA_ERROR;
+
+  // inverse BWT: stable counting order; walk successor chain with fused
+  // RLE1 expansion + CRC (+ optional legacy derandomisation).
+  for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
+  for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = i;
+  if (!ob.grow((i64)n + 8)) return BZT_MEM_ERROR;
+  u32 crc = 0xffffffffu;
+  RandState rs;
+  u32 pos = tt[orig_ptr];
+  i32 left = n;
+  i32 run_ch = -1, run_len = 0;
+  while (left > 0) {
+    u8 ch = blk[pos];
+    pos = tt[pos];
+    left--;
+    if (randomised) ch ^= (u8)rs.next_mask();
+    if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
+    if (!ob.grow(1)) return BZT_MEM_ERROR;
+    ob.p[ob.len++] = ch;
+    crc = crc_byte(crc, ch);
+    if (run_len == 4) {
+      if (left == 0) return BZT_DATA_ERROR;
+      u8 cnt = blk[pos];
+      pos = tt[pos];
+      left--;
+      if (randomised) cnt ^= (u8)rs.next_mask();
+      if (cnt) {
+        if (!ob.grow(cnt)) return BZT_MEM_ERROR;
+        memset(ob.p + ob.len, ch, cnt);
+        ob.len += cnt;
+        for (i32 k = 0; k < cnt; k++) crc = crc_byte(crc, ch);
+      }
+      run_ch = -1; run_len = 0;
+    }
+  }
+  crc = ~crc;
+  if (crc != stored_crc) return BZT_DATA_ERROR;
+  *combined = ((*combined << 1) | (*combined >> 31)) ^ crc;
+  return BZT_OK;
+}
+
+#define GET2(v, k) do { if (!br.have(k)) { err = BZT_UNEXPECTED_EOF; goto done; } \
+                        v = br.peek(k); br.drop(k); } while (0)
 
 // Decode all streams in [data, data+len).  flags bit0: multi-stream.
 // Returns BZT_OK and sets *out/*out_len (caller frees with bz2tpu_free);
@@ -292,18 +468,21 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
   int streams_done = 0;
   bool multi = (flags & 1) != 0;
 
-  u32* tt = nullptr;       // successor array
-  u8* blk = nullptr;       // decoded MTF output (BWT column)
+  u32* tt = nullptr;
+  u8* blk = nullptr;
   i32 blk_cap = 0;
 
   while (true) {  // stream loop
-    u32 h = 0;
-    if (!br.have(8)) break;  // clean end after >= 0 complete streams
+    if (!br.have(8)) {
+      if (streams_done == 0) err = BZT_DATA_ERROR_MAGIC;
+      break;
+    }
     if (!br.have(32)) {
       if (streams_done && multi) break;  // short trailing garbage
-      err = streams_done ? BZT_DATA_ERROR_MAGIC : BZT_DATA_ERROR_MAGIC;
+      err = BZT_DATA_ERROR_MAGIC;
       goto done;
     }
+    u32 h;
     {  // stream header: peek, validate, then consume
       u32 hdr = br.peek(32);
       u32 b3 = hdr & 0xff;
@@ -314,7 +493,6 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
       br.drop(32);
       h = b3 - 0x30;
     }
-    if (streams_done == 0 && !br.have(8)) { err = BZT_UNEXPECTED_EOF; goto done; }
     {
       i32 max_block = 100000 * (i32)h;
       if (max_block > blk_cap) {
@@ -325,215 +503,34 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
         blk_cap = max_block;
       }
       u32 combined = 0;
-
       while (true) {  // block loop
         u32 mag_hi, mag_lo;
-        GET(mag_hi, 24); GET(mag_lo, 24);
+        if (!br.have(48)) { err = BZT_UNEXPECTED_EOF; goto done; }
+        mag_hi = br.peek(24); br.drop(24);
+        mag_lo = br.peek(24); br.drop(24);
         if (mag_hi == 0x177245 && mag_lo == 0x385090) {
-          u32 stored_comb;
-          GET(stored_comb, 16);
-          u32 lo16; GET(lo16, 16);
-          stored_comb = (stored_comb << 16) | lo16;
+          u32 hi16, lo16;
+          GET2(hi16, 16); GET2(lo16, 16);
+          u32 stored_comb = (hi16 << 16) | lo16;
           if (stored_comb != combined) { err = BZT_DATA_ERROR; goto done; }
-          break;  // end of stream
+          break;
         }
         if (mag_hi != 0x314159 || mag_lo != 0x265359) {
           err = BZT_DATA_ERROR; goto done;
         }
-        u32 stored_crc, w;
-        GET(stored_crc, 16); GET(w, 16);
-        stored_crc = (stored_crc << 16) | w;
-        u32 randomised; GET(randomised, 1);
-        if (randomised && !g_rnums_set) { err = BZT_DATA_ERROR; goto done; }
-        u32 orig_ptr; GET(orig_ptr, 24);
-        if ((i32)orig_ptr > max_block) { err = BZT_DATA_ERROR; goto done; }
-
-        // symbol map
-        u8 used[256];
-        i32 n_used = 0;
-        u32 gmask; GET(gmask, 16);
-        for (i32 gi = 0; gi < 16; gi++) {
-          if (gmask & (0x8000u >> gi)) {
-            u32 bits; GET(bits, 16);
-            for (i32 j = 0; j < 16; j++)
-              if (bits & (0x8000u >> j)) used[n_used++] = (u8)(gi * 16 + j);
-          }
-        }
-        if (n_used == 0) { err = BZT_DATA_ERROR; goto done; }
-        i32 alpha = n_used + 2, eob = n_used + 1;
-
-        u32 n_groups, n_selectors;
-        GET(n_groups, 3); GET(n_selectors, 15);
-        if (n_groups < 2 || n_groups > 6) { err = BZT_DATA_ERROR; goto done; }
-        if (n_selectors < 1 || n_selectors > 18002) {  // CVE-2010-0405 guard
-          err = BZT_DATA_ERROR; goto done;
-        }
-        u8 sel_mtf[18002];
-        for (u32 i = 0; i < n_selectors; i++) {
-          i32 v = 0;
-          for (;;) {
-            u32 b; GET(b, 1);
-            if (!b) break;
-            if (++v >= (i32)n_groups) { err = BZT_DATA_ERROR; goto done; }
-          }
-          sel_mtf[i] = (u8)v;
-        }
-        u8* selectors = sel_mtf;  // un-MTF in place (read-before-write)
-        {
-          u8 pos[6] = {0, 1, 2, 3, 4, 5};
-          for (u32 i = 0; i < n_selectors; i++) {
-            i32 v = sel_mtf[i];
-            u8 tmp = pos[v];
-            for (; v > 0; v--) pos[v] = pos[v - 1];
-            pos[0] = tmp;
-            selectors[i] = tmp;
-          }
-        }
-
-        Group groups[6];
-        for (u32 t = 0; t < n_groups; t++) {
-          u32 curr; GET(curr, 5);
-          u8 lens[258];
-          for (i32 v = 0; v < alpha; v++) {
-            for (;;) {
-              if (curr < 1 || curr > 20) { err = BZT_DATA_ERROR; goto done; }
-              u32 b; GET(b, 1);
-              if (!b) break;
-              u32 d; GET(d, 1);
-              curr += d ? -1 : 1;
-            }
-            lens[v] = (u8)curr;
-          }
-          if (!build_group(groups[t], lens, alpha)) {
-            err = BZT_DATA_ERROR; goto done;
-          }
-        }
-
-        // MTF / RLE2 symbol loop
-        u8 mtf[256];
-        memcpy(mtf, used, n_used);
-        i32 cftab[257];
-        memset(cftab, 0, sizeof cftab);
-        i32 n = 0;
-        i32 group_no = -1, group_pos = 0;
-        Group* gr = nullptr;
-        i64 run = 0;
-        i32 run_bit = 0;
-        for (;;) {
-          if (group_pos == 0) {
-            if (++group_no >= (i32)n_selectors) { err = BZT_DATA_ERROR; goto done; }
-            gr = &groups[selectors[group_no]];
-            group_pos = 50;
-          }
-          group_pos--;
-          // decode one symbol
-          i32 sym;
-          {
-            u32 v = br.peek(Group::FAST_BITS);
-            i32 f = gr->fast[v];
-            if (f >= 0 && br.have(f & 31)) {
-              sym = f >> 5;
-              br.drop(f & 31);
-            } else {
-              i32 l = gr->min_len;
-              NEED(l);
-              i32 code = br.peek(l);
-              while (code > gr->limit[l]) {
-                if (l >= gr->max_len) { err = BZT_DATA_ERROR; goto done; }
-                l++;
-                NEED(l);
-                code = br.peek(l);
-              }
-              br.drop(l);
-              sym = gr->perm[code - gr->base[l]];
-            }
-          }
-          if (sym <= 1) {  // RUNA/RUNB
-            if (run_bit >= 31) { err = BZT_DATA_ERROR; goto done; }
-            run += (i64)(sym + 1) << run_bit;
-            run_bit++;
-            continue;
-          }
-          if (run) {
-            if (n + run > max_block) { err = BZT_DATA_ERROR; goto done; }
-            u8 c = mtf[0];
-            cftab[c + 1] += (i32)run;
-            memset(blk + n, c, run);
-            n += (i32)run;
-            run = 0; run_bit = 0;
-          }
-          if (sym == eob) break;
-          // MTF update
-          i32 p = sym - 1;
-          u8 c = mtf[p];
-          memmove(mtf + 1, mtf, p);
-          mtf[0] = c;
-          if (n >= max_block) { err = BZT_DATA_ERROR; goto done; }
-          cftab[c + 1]++;
-          blk[n++] = c;
-        }
-        if (n == 0 || (i32)orig_ptr >= n) { err = BZT_DATA_ERROR; goto done; }
-
-        // inverse BWT: A = stable counting order; walk successor chain.
-        for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
-        for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = i;
-        // walk + RLE1 expansion + CRC (+ optional derandomisation)
-        {
-          if (!ob.grow((i64)n + 8)) { err = BZT_MEM_ERROR; goto done; }
-          u32 crc = 0xffffffffu;
-          RandState rs;
-          u32 pos = tt[orig_ptr];
-          i32 left = n;
-          i32 run_ch = -1, run_len = 0;
-          while (left > 0) {
-            u8 ch = blk[pos];
-            pos = tt[pos];
-            left--;
-            if (randomised) {
-              ch ^= (u8)rs.next_mask();
-            }
-            if ((i32)ch == run_ch) {
-              run_len++;
-            } else {
-              run_ch = ch; run_len = 1;
-            }
-            if (!ob.grow(1)) { err = BZT_MEM_ERROR; goto done; }
-            ob.p[ob.len++] = ch;
-            crc = crc_byte(crc, ch);
-            if (run_len == 4) {
-              // next block byte is a repeat count
-              if (left == 0) { err = BZT_DATA_ERROR; goto done; }
-              u8 cnt = blk[pos];
-              pos = tt[pos];
-              left--;
-              if (randomised) cnt ^= (u8)rs.next_mask();
-              if (cnt) {
-                if (!ob.grow(cnt)) { err = BZT_MEM_ERROR; goto done; }
-                memset(ob.p + ob.len, ch, cnt);
-                ob.len += cnt;
-                for (i32 k = 0; k < cnt; k++) crc = crc_byte(crc, ch);
-              }
-              run_ch = -1; run_len = 0;
-            }
-          }
-          crc = ~crc;
-          if (crc != stored_crc) { err = BZT_DATA_ERROR; goto done; }
-          combined = ((combined << 1) | (combined >> 31)) ^ crc;
-        }
-      }  // block loop
-
+        i32 rc = decode_block(br, max_block, tt, blk, ob, &combined);
+        if (rc != BZT_OK) { err = rc; goto done; }
+      }
       streams_done++;
-      // streams are byte aligned
-      br.drop(br.n & 7);
+      br.drop(br.n & 7);  // streams are byte aligned
       if (!multi) break;
-      if (br.p >= br.end && br.n < 8) break;
     }
-  }  // stream loop
+  }
 
 done:
   free(tt);
   free(blk);
-  if (err == BZT_OK || err == BZT_STREAM_END) {
+  if (err == BZT_OK) {
     *out = ob.p;
     *out_len = ob.len;
     if (consumed) {
@@ -546,6 +543,101 @@ done:
   *out = nullptr;
   *out_len = 0;
   if (consumed) *consumed = 0;
+  return err;
+}
+
+// Incremental decoder: decode as many COMPLETE blocks as are present.
+//
+//   level_in  == 0: expect a (byte-aligned) stream header at start_bit.
+//   level_in 1..9: start_bit is a block boundary inside a stream with the
+//                  given block-size level and running combined CRC.
+//
+// Outputs: decoded bytes (caller frees), next_bit (boundary reached),
+// level/combined to resume with, and *status: 0 = need more input,
+// 1 = stream end reached (next_bit just past the combined CRC, NOT yet
+// byte-aligned; the caller aligns and may start the next stream).
+i32 bz2tpu_decode_some(const u8* data, i64 len, i64 start_bit, i32 level_in,
+                       u32 combined_in, u8** out, i64* out_len,
+                       i64* next_bit, i32* level_out, u32* combined_out,
+                       i32* status) {
+  crc_init();
+  OutBuf ob;
+  i32 err = BZT_OK;
+  i32 level = level_in;
+  u32 combined = combined_in;
+  *status = 0;
+
+  BitRd br{data + (start_bit >> 3), data + len};
+  if (start_bit & 7) { br.fill(); br.drop((int)(start_bit & 7)); }
+  i64 done_bit = start_bit;  // last committed boundary
+
+  u32* tt = nullptr;
+  u8* blk = nullptr;
+
+  if (level == 0) {
+    if (!br.have(32)) goto need_more;
+    u32 hdr = br.peek(32);
+    u32 b3 = hdr & 0xff;
+    if ((hdr >> 8) != 0x425a68u || b3 < 0x31 || b3 > 0x39) {
+      err = BZT_DATA_ERROR_MAGIC; goto done;
+    }
+    br.drop(32);
+    level = (i32)(b3 - 0x30);
+    done_bit += 32;
+  }
+  {
+    i32 max_block = 100000 * level;
+    tt = (u32*)malloc((i64)max_block * 4);
+    blk = (u8*)malloc(max_block);
+    if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
+
+    while (true) {
+      if (!br.have(48)) goto need_more;
+      BitRd save = br;
+      i64 save_len = ob.len;
+      u32 mag_hi = br.peek(24); br.drop(24);
+      u32 mag_lo = br.peek(24); br.drop(24);
+      if (mag_hi == 0x177245 && mag_lo == 0x385090) {
+        if (!br.have(32)) { br = save; goto need_more; }
+        u32 hi16 = br.peek(16); br.drop(16);
+        u32 lo16 = br.peek(16); br.drop(16);
+        u32 stored = (hi16 << 16) | lo16;
+        if (stored != combined) { err = BZT_DATA_ERROR; goto done; }
+        done_bit += 48 + 32;
+        *status = 1;
+        break;
+      }
+      if (mag_hi != 0x314159 || mag_lo != 0x265359) {
+        err = BZT_DATA_ERROR; goto done;
+      }
+      i32 rc = decode_block(br, max_block, tt, blk, ob, &combined);
+      if (rc == BZT_UNEXPECTED_EOF) {
+        br = save;
+        ob.len = save_len;
+        goto need_more;
+      }
+      if (rc != BZT_OK) { err = rc; goto done; }
+      done_bit = (br.p - data) * 8 - br.n;
+    }
+  }
+
+need_more:
+done:
+  free(tt);
+  free(blk);
+  if (err == BZT_OK) {
+    *out = ob.p;
+    *out_len = ob.len;
+    *next_bit = done_bit;
+    *level_out = level;
+    *combined_out = combined;
+    return BZT_OK;
+  }
+  free(ob.p);
+  *out = nullptr; *out_len = 0;
+  *next_bit = start_bit;
+  *level_out = level_in;
+  *combined_out = combined_in;
   return err;
 }
 

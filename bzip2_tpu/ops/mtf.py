@@ -24,35 +24,59 @@ _NEG = jnp.int32(-(1 << 30))
 MAX_RUN_DIGITS = 20  # floor(log2(900001+1)) = 19, +1 slack
 
 
-def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512):
+def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
+                      step_bytes: int = 128 << 20):
     """seq: int32 (B, N) remapped symbols (0..255); valid: bool (B, N).
-    Returns int32 (B, N) MTF list positions (pad positions garbage)."""
+    Returns int32 (B, N) MTF list positions (pad positions garbage).
+
+    Two-level structure: tiles are processed *in parallel* (the carry between
+    tiles is an associative prefix-max of per-symbol last occurrences), with
+    a short outer ``lax.scan`` only to bound peak memory (each step
+    materializes ~step_bytes of (B, tiles, tile, 256) intermediates).
+    """
     B, N = seq.shape
     assert N % tile == 0, "pad N to a multiple of the MTF tile"
     n_tiles = N // tile
+    # Choose the number of tiles per outer step from the memory budget.
+    per_tile_bytes = B * tile * 256 * 4
+    tiles_per_step = max(1, min(n_tiles, step_bytes // max(per_tile_bytes, 1)))
+    n_steps = -(-n_tiles // tiles_per_step)
+    pad_tiles = n_steps * tiles_per_step - n_tiles
+
     # Virtual initial occurrence times: symbol j at time -(j+1).
-    last0 = -(jnp.arange(256, dtype=jnp.int32) + 1)
-    last0 = jnp.broadcast_to(last0, (B, 256))
+    last0 = jnp.broadcast_to(-(jnp.arange(256, dtype=jnp.int32) + 1), (B, 256))
 
-    seq_t = seq.reshape(B, n_tiles, tile).transpose(1, 0, 2)
-    val_t = valid.reshape(B, n_tiles, tile).transpose(1, 0, 2)
-    pos_t = jnp.arange(N, dtype=jnp.int32).reshape(n_tiles, 1, tile)
+    seq_p = jnp.pad(seq.reshape(B, n_tiles, tile), ((0, 0), (0, pad_tiles), (0, 0)))
+    val_p = jnp.pad(valid.reshape(B, n_tiles, tile), ((0, 0), (0, pad_tiles), (0, 0)))
+    C = tiles_per_step
+    seq_t = seq_p.reshape(B, n_steps, C, tile).transpose(1, 0, 2, 3)
+    val_t = val_p.reshape(B, n_steps, C, tile).transpose(1, 0, 2, 3)
+    pos_t = (jnp.arange(n_steps * C * tile, dtype=jnp.int32)
+             .reshape(n_steps, 1, C, tile))
 
-    def step(last, inputs):
-        s, v, pos = inputs                      # (B, T), (B, T), (1, T)
-        onehot = s[:, :, None] == jnp.arange(256, dtype=jnp.int32)
-        occ = jnp.where(onehot & v[:, :, None], pos[:, :, None], _NEG)
-        incl = lax.cummax(occ, axis=1)          # (B, T, 256)
+    sym_ids = jnp.arange(256, dtype=jnp.int32)
+
+    def step(carry, inputs):
+        s, v, pos = inputs                       # (B,C,T), (B,C,T), (1,C,T)
+        onehot = s[..., None] == sym_ids
+        occ = jnp.where(onehot & v[..., None], pos[..., None], _NEG)
+        incl = lax.cummax(occ, axis=2)           # within-tile prefix max
+        tile_last = incl[:, :, -1, :]            # (B,C,256)
+        # exclusive prefix-max across tiles in this chunk, seeded by carry
+        shifted = jnp.concatenate(
+            [carry[:, None, :], tile_last[:, :-1, :]], axis=1)
+        carr = lax.cummax(shifted, axis=1)       # (B,C,256) carry per tile
         excl = jnp.concatenate(
-            [last[:, None, :], jnp.maximum(incl[:, :-1, :], last[:, None, :])],
-            axis=1)
-        cur = jnp.take_along_axis(excl, s[:, :, None], axis=2)
-        ranks = jnp.sum((excl > cur).astype(jnp.int32), axis=2)
-        new_last = jnp.maximum(excl[:, -1, :], occ[:, -1, :])
-        return new_last, ranks
+            [carr[:, :, None, :],
+             jnp.maximum(incl[:, :, :-1, :], carr[:, :, None, :])], axis=2)
+        cur = jnp.take_along_axis(excl, s[..., None], axis=3)
+        ranks = jnp.sum((excl > cur).astype(jnp.int32), axis=3)
+        new_carry = jnp.maximum(carr[:, -1, :], tile_last[:, -1, :])
+        return new_carry, ranks
 
     _, ranks = lax.scan(step, last0, (seq_t, val_t, pos_t))
-    return ranks.transpose(1, 0, 2).reshape(B, N)
+    ranks = ranks.transpose(1, 0, 2, 3).reshape(B, n_steps * C * tile)
+    return ranks[:, :N]
 
 
 def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
