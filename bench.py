@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: single-chip compress + decompress throughput at -9.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md, measured from the reference binary on this host):
+encode -9 12.1 MB/s + decode 29.1 MB/s => combined 85 MB over 9.92 s =
+8.56 MB/s = 0.00856 GB/s for one round trip.  vs_baseline is the ratio of
+our combined round-trip throughput to that.
+
+Env knobs: BENCH_BYTES (default 16 MiB), BENCH_LEVEL (default 9).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+BASELINE_COMBINED_MBS = 85_000_000 / (7.00 + 2.92) / 1e6  # 8.56 MB/s
+
+
+def log(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
+
+
+def main():
+    from bzip2_tpu import native
+    from bzip2_tpu.engine import Engine
+
+    level = int(os.environ.get("BENCH_LEVEL", "9"))
+    target = int(os.environ.get("BENCH_BYTES", str(16 << 20)))
+    base = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests/golden/sample2.ref"), "rb").read()
+    reps = max(1, target // len(base))
+    data = (base * reps)[:target]
+    log(f"devices: {jax.devices()}  level={level}  input={len(data) / 1e6:.1f} MB")
+
+    eng = Engine()
+    # Warm: compile on a small prefix (same (level, batch) executables).
+    t0 = time.time()
+    warm = eng.compress(data[: (100_000 * level) * eng._batch_size_for(level)],
+                        level)
+    log(f"warm/compile: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    comp = eng.compress(data, level)
+    t_enc = time.time() - t0
+    log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
+        f"(ratio {len(data) / len(comp):.2f}:1)")
+
+    t0 = time.time()
+    out, _, rc = native.decompress(comp)
+    t_dec = time.time() - t0
+    assert rc == 0 and out == data, "round-trip mismatch!"
+    log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s")
+
+    # correctness cross-check vs stock bzip2
+    import bz2
+    assert bz2.decompress(comp) == data
+    exp = bz2.compress(data, level)
+    bit_exact = comp == exp
+    log(f"bit-exact vs stock bzip2 -{level}: {bit_exact} "
+        f"(sizes {len(comp)} vs {len(exp)})")
+
+    combined = len(data) / 1e6 / (t_enc + t_dec)
+    print(json.dumps({
+        "metric": f"single-chip compress+decompress MB/s at -{level} "
+                  f"(bit-exact={bit_exact})",
+        "value": round(combined, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(combined / BASELINE_COMBINED_MBS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,11 +22,15 @@ assert RNUMS.shape == (512,)
 def derandomise_mask(n: int) -> np.ndarray:
     """Boolean mask of length n: positions whose byte must be XORed with 1.
 
-    Reproduces BZ_RAND_INIT/UPD_MASK semantics: a counter walks the RNUMS
-    schedule; the final byte of each run is XORed with 1.
+    Reproduces BZ_RAND_INIT/UPD_MASK semantics: the counter reloads RNUMS[k]
+    at the start of each run and the XOR fires on the byte where the counter
+    reaches 1 *after* its decrement — i.e. at offset RNUMS[k]-2 of the run,
+    which is (cumulative end of run) - 2.  RNUMS values are all >= 50, so
+    the -2 never escapes its run.
     """
     idx = np.cumsum(RNUMS[np.arange((n // 50) + 2) % 512])
     mask = np.zeros(n, dtype=bool)
-    hits = idx[idx <= n] - 1
-    mask[hits[hits < n]] = True
+    hits = idx - 2
+    hits = hits[(hits >= 0) & (hits < n)]
+    mask[hits] = True
     return mask
