@@ -3,14 +3,14 @@
 The reference's divsufsort (blocksort.c:1503-1545) is an irregular pointer
 machine; the TPU-native design is O(n log^2 n) fully-parallel doubling:
 
-  rank_0 from single bytes; repeat: sort by (rank[i], rank[(i+k) mod n]),
-  re-rank, k *= 2 — each pass is one multi-key ``lax.sort`` over the whole
-  batch (XLA's TPU sort), until all ranks are distinct.
+  rank_0 from 4-byte prefixes (one 32-bit-key sort); repeat: sort by
+  (rank[i], rank[(i+k) mod n]), re-rank, k *= 2 — each pass is one multi-key
+  ``lax.sort`` over the whole batch — until all ranks are distinct.
 
 Blocks are padded to a common static N; pad positions carry rank N and sort
 to the tail.  origPtr follows the tie policy documented in
-``bzip2_tpu.oracle.bwt`` (identical bytes + size; content-chaotic reference
-tie order for exactly-periodic blocks is not reproduced).
+``bzip2_tpu.oracle.bwt`` (identical bytes + size; the reference's
+content-chaotic tie order for exactly-periodic blocks is not reproduced).
 """
 from __future__ import annotations
 
@@ -19,8 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _rerank(order: jnp.ndarray, r1s: jnp.ndarray, r2s: jnp.ndarray,
-            pad_rank: int) -> jnp.ndarray:
+def _rerank(order: jnp.ndarray, r1s: jnp.ndarray, r2s: jnp.ndarray) -> jnp.ndarray:
     """Compact class ids from sorted key columns; scatter back to positions."""
     b, n = order.shape
     changed = jnp.concatenate(
@@ -43,55 +42,50 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     valid = idx < n[:, None]
     pad_rank = jnp.int32(N)
+    nn = jnp.maximum(n[:, None], 1)
 
-    # Initial ranks from bytes; pads get key 256 so they class together at
-    # the end, then are forced to rank N.
-    key0 = jnp.where(valid, blocks.astype(jnp.int32), 256)
+    # Initial ranks from 4-byte cyclic prefixes, packed into one int32 key
+    # (bias by the sign bit so unsigned byte order survives signed sort).
+    bi = blocks.astype(jnp.int32)
+    k4 = bi
+    for off in (1, 2, 3):
+        nxt = jnp.take_along_axis(bi, jnp.remainder(idx + off, nn), axis=1)
+        k4 = (k4 << 8) | nxt
+    key0 = jnp.where(valid, k4 ^ jnp.int32(-0x80000000), jnp.int32(0x7FFFFFFF))
     k0s, order = lax.sort((key0, jnp.broadcast_to(idx, (B, N))),
                           dimension=1, is_stable=True, num_keys=1)
-    rank = _rerank(order, k0s, k0s, N)
+    rank = _rerank(order, k0s, k0s)
     rank = jnp.where(valid, rank, pad_rank)
 
     def cond(state):
-        rank, k, done = state
+        rank, order, k, done = state
         return jnp.logical_and(k < N, jnp.logical_not(done))
 
     def body(state):
-        rank, k, _ = state
-        shifted = jnp.remainder(idx + k, jnp.maximum(n[:, None], 1))
+        rank, _, k, _ = state
+        shifted = jnp.remainder(idx + k, nn)
         rank2 = jnp.where(valid,
                           jnp.take_along_axis(rank, shifted, axis=1),
                           pad_rank)
         r1s, r2s, order = lax.sort(
             (rank, rank2, jnp.broadcast_to(idx, (B, N))),
             dimension=1, is_stable=True, num_keys=2)
-        new_rank = _rerank(order, r1s, r2s, N)
+        new_rank = _rerank(order, r1s, r2s)
         new_rank = jnp.where(valid, new_rank, pad_rank)
-        # converged when every valid position is a singleton class:
-        # max valid class id == n - 1.
         max_rank = jnp.max(jnp.where(valid, new_rank, -1), axis=1)
         done = jnp.all(max_rank == n - 1)
-        return new_rank, k * 2, done
+        return new_rank, order, k * 2, done
 
-    # done is derived from sharded data so its "varying" type is consistent
-    # across while_loop iterations under shard_map.
-    done0 = jnp.all(n < 0)  # always False (n >= 1)
-    rank, _, _ = lax.while_loop(cond, body, (rank, jnp.int32(1), done0))
-
-    # Final order: sort positions by rank (ties — equal rotations — keep
-    # stable position order; BWT bytes are invariant to it).
-    _, sa = lax.sort((rank, jnp.broadcast_to(idx, (B, N))),
-                     dimension=1, is_stable=True, num_keys=1)
+    done0 = jnp.all(n < 0)  # always False; derived from data for shard_map
+    rank, sa, _, _ = lax.while_loop(
+        cond, body, (rank, order, jnp.int32(4), done0))
 
     last = jnp.where(valid,
                      jnp.take_along_axis(
-                         blocks, jnp.remainder(sa + n[:, None] - 1,
-                                               jnp.maximum(n[:, None], 1)), axis=1),
+                         blocks, jnp.remainder(sa + nn - 1, nn), axis=1),
                      0).astype(jnp.uint8)
 
-    # origPtr tie policy (see oracle.bwt): base rank of rotation 0 plus 1
-    # when the block has nontrivial cyclic symmetry (ties exist but not all
-    # rotations are equal).
+    # origPtr tie policy (see oracle.bwt).
     r0 = rank[:, 0]
     base = jnp.sum(jnp.where(valid, (rank < r0[:, None]).astype(jnp.int32), 0), axis=1)
     max_rank = jnp.max(jnp.where(valid, rank, -1), axis=1)

@@ -87,18 +87,20 @@ def initial_tables_batched(freq: jnp.ndarray, n_mtf: jnp.ndarray,
 
 
 def build_group_hist(mtfv: jnp.ndarray, n_mtf: jnp.ndarray):
-    """(B, M) symbols -> (B, G, A) per-50-group histograms (int32)."""
+    """(B, M) symbols -> (B, G, A) per-50-group histograms (int32).
+
+    One-hot + segment-sum (VPU-friendly) instead of scatter-add, which is
+    slow on TPU.  Counts <= 50 are exact in bfloat16-in/f32-accumulate."""
     B, M = mtfv.shape
     G = -(-M // G_SIZE)
     pad = G * G_SIZE - M
     syms = jnp.pad(mtfv, ((0, 0), (0, pad)))
     valid = jnp.arange(G * G_SIZE, dtype=jnp.int32)[None, :] < n_mtf[:, None]
-    g_of = jnp.arange(G * G_SIZE, dtype=jnp.int32)[None, :] // G_SIZE
-    flat_idx = ((jnp.arange(B, dtype=jnp.int32)[:, None] * G + g_of) * A
-                + jnp.where(valid, syms, 0))
-    hist = jnp.zeros(B * G * A, jnp.int32).at[flat_idx.reshape(-1)].add(
-        valid.astype(jnp.int32).reshape(-1))
-    return hist.reshape(B, G, A)
+    onehot = ((syms[:, :, None] == jnp.arange(A, dtype=jnp.int32))
+              & valid[:, :, None])
+    hist = jnp.sum(onehot.reshape(B, G, G_SIZE, A).astype(jnp.bfloat16),
+                   axis=2, dtype=jnp.float32)
+    return hist.astype(jnp.int32)
 
 
 def group_iter(hist_bf, lens, table_invalid):

@@ -153,13 +153,19 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
     eob_pos = jnp.minimum(n_mtf - 1, M - 1)
     out = out.at[brange[:, 0], eob_pos].set(n_in_use + 1)
 
-    # frequencies over the final alphabet (incl. EOB)
+    # frequencies over the final alphabet (incl. EOB): one-hot chunked sum
+    # (scatter-add is slow on TPU); chunk keeps the one-hot tensor bounded.
     mrange = jnp.arange(M, dtype=jnp.int32)[None, :]
     out_valid = mrange < n_mtf[:, None]
-    freq = jnp.zeros((B, MAX_ALPHA_SIZE), jnp.int32)
-    fidx = (brange * MAX_ALPHA_SIZE + jnp.where(out_valid, out, 0)).reshape(-1)
-    freq = freq.reshape(-1).at[fidx].add(out_valid.astype(jnp.int32).reshape(-1))
-    freq = freq.reshape(B, MAX_ALPHA_SIZE)
+    CH = 1 << 14
+    Mp = -(-M // CH) * CH
+    sym_p = jnp.pad(out, ((0, 0), (0, Mp - M)))
+    val_p = jnp.pad(out_valid, ((0, 0), (0, Mp - M)))
+    oh = ((sym_p[:, :, None] == jnp.arange(MAX_ALPHA_SIZE, dtype=jnp.int32))
+          & val_p[:, :, None])
+    freq = jnp.sum(oh.reshape(B, Mp // CH, CH, MAX_ALPHA_SIZE)
+                   .astype(jnp.bfloat16), axis=(1, 2), dtype=jnp.float32)
+    freq = freq.astype(jnp.int32)
 
     out = jnp.where(out_valid, out, 0)
     return out, n_mtf, freq, n_in_use

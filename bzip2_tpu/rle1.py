@@ -10,12 +10,16 @@ Semantics (reference ``copy_input_until_stop``, bzlib.c:212-315):
 * Segments are flushed whole into the current block.  The per-input-byte
   capacity check (``dst_ptr < dst_end``) means: a segment goes into a new
   block iff the current block already holds >= nblockMAX bytes when the
-  segment's *triggering byte* (first byte of the following segment) is
-  processed.  The final segment is flushed by the end-of-stream epilogue
-  (bzlib.c:276-308): it lands in the currently open block even if that block
-  is already full, *unless* it has >= 2 bytes and the block filled first (in
-  which case the byte-consumption loop stalls, the block is closed, and the
-  segment lands in the next block).
+  segment is flushed.  This matches the reference *CLI / chunked-write*
+  sequencing (BZ_RUN calls then BZ_FINISH, bzip2.c:329-380 + bzlib.c:362-396):
+  a full block is compressed at the end of the RUN call that filled it, so
+  the stream's final segment always opens a fresh block when the previous one
+  is full.  (The one-shot BZ2_bzBuffToBuffCompress path differs in exactly
+  one corner: with FINISH mode active from the start, a final segment
+  arriving at EOS is flushed by the epilogue at bzlib.c:276-308 into the
+  still-open full block.  The reference binary and stock bzip2 CLI both
+  exhibit the chunked behavior, which is what we reproduce; verified on an
+  exact-boundary input.)
 * Block CRCs cover the raw (pre-RLE1) bytes whose segments landed in the
   block; ``inUse`` marks each segment's byte value plus every emitted
   ``L - 4`` length byte.
@@ -94,26 +98,20 @@ def encode_blocks(data, level: int, _nmax: int | None = None) -> List[RLE1Block]
 
     # Block boundaries over segments, via searchsorted over the running
     # output-byte cumsum.  A break happens before segment ``nb`` when the
-    # current block already holds >= nmax bytes (csum[nb-1] - base >= nmax);
-    # the final segment additionally requires >= 2 input bytes to move.
+    # current block already holds >= nmax bytes (csum[nb-1] - base >= nmax).
     csum = np.cumsum(out_lens)
     seg_block_id = np.zeros(m, dtype=np.int64)
     start, base, bid = 0, 0, 0
     while True:
         k = int(np.searchsorted(csum, base + nmax, side="left"))
         nb = k + 1  # candidate break position: first segment of the next block
-        if nb <= m - 2:
+        if nb <= m - 1:
             seg_block_id[start:nb] = bid
             bid += 1
             base = int(csum[nb - 1])
             start = nb
             continue
-        if nb == m - 1 and seg_lens[m - 1] >= 2:
-            seg_block_id[start:nb] = bid
-            bid += 1
-            seg_block_id[m - 1] = bid
-        else:
-            seg_block_id[start:] = bid
+        seg_block_id[start:] = bid
         break
 
     n_blocks = int(seg_block_id[-1]) + 1

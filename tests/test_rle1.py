@@ -6,7 +6,9 @@ from bzip2_tpu import rle1
 
 def brute_blocks(data, nmax):
     """Byte-exact model of the reference's copy_input_until_stop loop
-    (bzlib.c:212-315) in one-shot FINISH mode."""
+    (bzlib.c:212-315) under the CLI's RUN-then-FINISH sequencing: a block
+    that is full when input runs out is compressed before the pending run is
+    flushed at FINISH (handle_compress, bzlib.c:381-390)."""
     blocks, cur, cur_raw = [], [], []
     ch, ln = -1, 0
 
@@ -31,6 +33,9 @@ def brute_blocks(data, nmax):
             ch, ln = z, 1
         else:
             ln += 1
+    if ln and len(cur) >= nmax:  # RUN-call end closed the full block
+        blocks.append((cur, cur_raw))
+        cur, cur_raw = [], []
     flush()
     if cur:
         blocks.append((cur, cur_raw))
