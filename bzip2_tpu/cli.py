@@ -384,6 +384,12 @@ def _run_one(opts: _Opts, name: str | None) -> int:
         if cleanup_path and os.path.exists(cleanup_path):
             os.unlink(cleanup_path)
         return EXIT_CORRUPT
+    except BaseException:
+        # any other failure: never leave a partial output file behind
+        # (reference cleanUpAndFail, bzip2.c:687-741)
+        if cleanup_path and os.path.exists(cleanup_path):
+            os.unlink(cleanup_path)
+        raise
     finally:
         for s, h in old.items():
             signal.signal(s, h)
@@ -395,6 +401,13 @@ def main(argv=None, prog_name=None) -> int:
     opts, files, early = _parse_args(argv, prog_name)
     if early is not None or opts is None:
         return early if early is not None else EXIT_ENV
+    if opts.backend == "tpu":
+        try:
+            import bzip2_tpu
+            bzip2_tpu.enable_tpu_backend()
+        except Exception as e:
+            _err(f"cannot enable tpu backend: {e}")
+            return EXIT_ENV
     try:
         if not files or files == ["-"]:
             return _run_one(opts, None)

@@ -122,9 +122,9 @@ def encode_batch_device(blocks, n, in_use, crc, n_words: int):
     """The full jitted encoder: (B,N) uint8 padded RLE1 blocks -> packed
     per-block bitstreams (B, n_words) uint32 + bit counts (B,)."""
     last, orig_ptr, _ = bwt_batched(blocks, n)
-    mtfv, n_mtf, freq, n_in_use = mtf_rle2_batched(last, n, in_use)
+    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use)
     n_groups, n_selectors, selectors, sel_mtf, lens, codes = group_search_batched(
-        mtfv, n_mtf, freq, n_in_use)
+        mtfv, n_mtf, n_in_use)
     vals, flens = _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf,
                                n_in_use, n_groups, n_selectors, sel_mtf, lens,
                                codes, selectors)
@@ -142,11 +142,12 @@ def encode_pre(blocks, n, in_use):
                                   n_groups_batched)
 
     last, orig_ptr, _ = bwt_batched(blocks, n)
-    mtfv, n_mtf, freq, n_in_use = mtf_rle2_batched(last, n, in_use,
-                                                   tile=MTF_TILE)
+    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use, tile=MTF_TILE)
     n_groups = n_groups_batched(n_mtf)
+    hist = build_group_hist(mtfv, n_mtf)
+    freq = jnp.sum(hist, axis=1)
     lens0 = initial_tables_batched(freq, n_mtf, n_in_use + 2, n_groups)
-    hist_bf = build_group_hist(mtfv, n_mtf).astype(jnp.bfloat16)
+    hist_bf = hist.astype(jnp.bfloat16)
     table_invalid = (jnp.arange(6, dtype=jnp.int32)[None, :]
                      >= n_groups[:, None])
     return (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens0, hist_bf,

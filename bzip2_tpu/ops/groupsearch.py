@@ -130,7 +130,7 @@ def selector_mtf(selectors, n_selectors):
     return jnp.where(gvalid[:, :G], ranks[:, :G] + 1, 0)
 
 
-def group_search_batched(mtfv, n_mtf, freq, n_in_use):
+def group_search_batched(mtfv, n_mtf, n_in_use):
     """Returns (n_groups (B,), n_selectors (B,), selectors (B, G),
     sel_mtf (B, G) MTF-coded selector values (1..6), lens (B,6,A),
     codes (B,6,A))."""
@@ -138,9 +138,10 @@ def group_search_batched(mtfv, n_mtf, freq, n_in_use):
     alpha = n_in_use + 2
     n_groups = n_groups_batched(n_mtf)
     n_selectors = -(-n_mtf // G_SIZE)
-    lens = initial_tables_batched(freq, n_mtf, alpha, n_groups)
 
     hist = build_group_hist(mtfv, n_mtf)                  # (B, G, A)
+    freq = jnp.sum(hist, axis=1)                          # (B, A)
+    lens = initial_tables_batched(freq, n_mtf, alpha, n_groups)
     hist_bf = hist.astype(jnp.bfloat16)
     G = hist.shape[1]
     table_invalid = (jnp.arange(6, dtype=jnp.int32)[None, :] >= n_groups[:, None])

@@ -18,10 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..constants import MAX_ALPHA_SIZE
-
 _NEG = jnp.int32(-(1 << 30))
-MAX_RUN_DIGITS = 20  # floor(log2(900001+1)) = 19, +1 slack
 
 
 def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
@@ -83,11 +80,21 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
                      tile: int = 512):
     """last_col: uint8 (B, N) BWT output; n: int32 (B,); in_use: bool (B, 256).
 
-    Returns (mtfv int32 (B, N+1), n_mtf int32 (B,), freq int32 (B, 258),
-    n_in_use int32 (B,)).  mtfv pad positions are 0.
+    Returns (mtfv int32 (B, N+1), n_mtf int32 (B,), n_in_use int32 (B,)).
+    mtfv pad positions are 0.  (Symbol frequencies are derived by callers
+    from the per-group histogram: ``build_group_hist(...).sum(axis=1)``.)
+
+    The RLE2 expansion is gather-formulated: every "source" (a nonzero MTF
+    rank, or the EOB) owns an output span [offs, offs + dcount] holding the
+    bijective base-2 digits of its preceding zero-run length then its
+    symbol.  Three packed scatter+cummax passes propagate each source's
+    (offs, symbol, run length m) to every slot it covers; each slot then
+    derives its value locally.  This replaces per-digit scatter-adds, which
+    are slow on TPU.
     """
     B, N = last_col.shape
     M = N + 1
+    assert M < (1 << 20), "offset packing assumes block size < 2^20"
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     valid = idx < n[:, None]
 
@@ -101,7 +108,7 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
     ranks = mtf_ranks_batched(seq, valid, tile=tile)
     ranks = jnp.where(valid, ranks, 0)
 
-    # --- RLE2 stream compaction ---
+    # --- RLE2 stream layout ---
     nonzero = (ranks > 0) & valid
     # prev nonzero position before i (exclusive), -1 if none
     marks = jnp.where(nonzero, idx, -1)
@@ -115,7 +122,7 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
     dcount = jnp.where(nonzero, dcount, 0)
     counts = jnp.where(nonzero, dcount + 1, 0)                   # digits + sym
 
-    # tail zero-run + EOB as a virtual position
+    # tail zero-run + EOB as one more source (uniform: dcount digits + sym)
     last_nz = prev_incl[:, -1]
     tail_z = jnp.where(n > 0, n - 1 - last_nz, 0)
     tail_m = tail_z + 1
@@ -126,46 +133,35 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
     total_body = offs[:, -1] + counts[:, -1]
     n_mtf = total_body + tail_d + 1                              # + EOB
 
-    out = jnp.zeros((B, M), jnp.int32)
-    brange = jnp.arange(B, dtype=jnp.int32)[:, None]
-    flat = out.reshape(-1)
+    # Pack per-source fields keyed by offs so cummax propagates the covering
+    # source to every slot: offs < 2^20, sym <= 257 (10 bits), m < 2^20
+    # split as 11 low + 9 high bits.
+    sym = ranks + 1
+    pos = jnp.where(nonzero, offs, M - 1)                        # dump -> M-1
+    v_sym = jnp.where(nonzero, (offs << 10) | sym, 0)
+    v_mlo = jnp.where(nonzero, (offs << 11) | (m & 0x7FF), 0)
+    v_mhi = jnp.where(nonzero, (offs << 10) | (m >> 11), 0)
 
-    # symbols (rank + 1) at offs + dcount
-    sym_pos = jnp.where(nonzero, offs + dcount, M - 1)  # dump pads on last slot
-    sym_val = jnp.where(nonzero, ranks + 1, 0)
-    flat = flat.at[(brange * M + sym_pos).reshape(-1)].add(sym_val.reshape(-1))
+    br = jnp.arange(B, dtype=jnp.int32)
+    eob_sym = n_in_use + 1
 
-    # zero-run digits: fixed loop over possible digit index
-    for j in range(MAX_RUN_DIGITS):
-        has = (dcount > j) & nonzero
-        dig = jnp.where(has, (m >> j) & 1, 0)
-        pos = jnp.where(has, offs + j, M - 1)
-        flat = flat.at[(brange * M + pos).reshape(-1)].add(dig.reshape(-1))
+    def spread(vals, eob_val):
+        a = jnp.zeros((B, M), jnp.int32).at[br[:, None], pos].max(vals)
+        a = a.at[br, total_body].max(eob_val)
+        return lax.cummax(a, axis=1)
 
-    out = flat.reshape(B, M)
-    # wipe the dump slot then write tail digits + EOB per block
-    out = out.at[:, M - 1].set(0)
-    for j in range(MAX_RUN_DIGITS):
-        has = tail_d > j
-        dig = jnp.where(has, (tail_m >> j) & 1, 0)
-        pos = jnp.where(has, total_body + j, M - 1)
-        out = out.at[brange[:, 0], pos].add(jnp.where(has, dig, 0))
-    eob_pos = jnp.minimum(n_mtf - 1, M - 1)
-    out = out.at[brange[:, 0], eob_pos].set(n_in_use + 1)
+    s_sym = spread(v_sym, (total_body << 10) | eob_sym)
+    s_mlo = spread(v_mlo, (total_body << 11) | (tail_m & 0x7FF))
+    s_mhi = spread(v_mhi, (total_body << 10) | (tail_m >> 11))
 
-    # frequencies over the final alphabet (incl. EOB): one-hot chunked sum
-    # (scatter-add is slow on TPU); chunk keeps the one-hot tensor bounded.
-    mrange = jnp.arange(M, dtype=jnp.int32)[None, :]
-    out_valid = mrange < n_mtf[:, None]
-    CH = 1 << 14
-    Mp = -(-M // CH) * CH
-    sym_p = jnp.pad(out, ((0, 0), (0, Mp - M)))
-    val_p = jnp.pad(out_valid, ((0, 0), (0, Mp - M)))
-    oh = ((sym_p[:, :, None] == jnp.arange(MAX_ALPHA_SIZE, dtype=jnp.int32))
-          & val_p[:, :, None])
-    freq = jnp.sum(oh.reshape(B, Mp // CH, CH, MAX_ALPHA_SIZE)
-                   .astype(jnp.bfloat16), axis=(1, 2), dtype=jnp.float32)
-    freq = freq.astype(jnp.int32)
+    p = jnp.arange(M, dtype=jnp.int32)[None, :]
+    start = s_sym >> 10
+    slot_sym = s_sym & 0x3FF
+    slot_m = ((s_mhi & 0x3FF) << 11) | (s_mlo & 0x7FF)
+    d = jnp.clip(p - start, 0, 31)
+    dc = 31 - lax.clz(jnp.maximum(slot_m, 1))
+    out = jnp.where(d == dc, slot_sym, (slot_m >> d) & 1)
 
+    out_valid = p < n_mtf[:, None]
     out = jnp.where(out_valid, out, 0)
-    return out, n_mtf, freq, n_in_use
+    return out, n_mtf, n_in_use

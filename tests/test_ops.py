@@ -65,14 +65,15 @@ def test_mtf_batched_vs_oracle(jitted, rng):
                 seq = np.sort(seq)  # long zero-runs
             last[b, :ns[b]] = seq
             uses[b, np.unique(seq)] = True
-        mtfv, n_mtf, freq, niu = map(
+        mtfv, n_mtf, niu = map(
             np.array, jitted["mtf"](jnp.array(last), jnp.array(ns), jnp.array(uses)))
         for b in range(B):
             emtfv, efreq, ek = mtf_rle2_encode(last[b, :ns[b]], uses[b])
             assert n_mtf[b] == emtfv.size
             assert np.array_equal(mtfv[b, :n_mtf[b]], emtfv.astype(np.int32))
-            assert np.array_equal(freq[b], efreq)
             assert niu[b] == ek
+            got_freq = np.bincount(mtfv[b, :n_mtf[b]], minlength=258)
+            assert np.array_equal(got_freq, efreq)
 
 
 def test_huffman_lanes_vs_oracle(jitted, rng):
