@@ -1,16 +1,29 @@
-"""Batched BWT rotation sort for TPU: prefix doubling over cyclic shifts.
+"""Batched BWT rotation sort for TPU: prefix doubling with staged
+active-set compaction.
 
 The reference's divsufsort (blocksort.c:1503-1545) is an irregular pointer
-machine; the TPU-native design is O(n log^2 n) fully-parallel doubling:
+machine; the TPU-native design is fully-parallel prefix doubling over the
+cyclic rotations, with three optimizations that matter on this hardware:
 
-  rank_0 from 4-byte prefixes (one 32-bit-key sort); repeat: sort by
-  (rank[i], rank[(i+k) mod n]), re-rank, k *= 2 — each pass is one multi-key
-  ``lax.sort`` over the whole batch — until all ranks are distinct.
+  1. **16-byte initial ranks** from one 4-key ``lax.sort`` (keys built with
+     static rolls over a cyclically-extended byte buffer — no gathers).
+  2. **Gapped ranks** (rank = sorted index of the first member of a tie
+     class = number of rotations sorting strictly before).  Gapped ranks
+     can be refined *locally*: members of a class re-rank as
+     ``base + offset`` without touching resolved positions.
+  3. **Active-set compaction**: once the number of still-tied positions
+     fits a capacity bucket (N/2, N/8, N/32), the doubling passes move to a
+     compact buffer holding only tied positions, so sort/gather cost tracks
+     the unresolved set instead of the block size.  Worst case (periodic
+     blocks, whose rotations tie until k >= n) degrades gracefully to
+     full-width passes; those use a roll-based neighbour-rank fetch while
+     ``k`` fits inside the per-batch pad slack (the pad region mirrors
+     ``rank[0:]`` so a static roll realizes the cyclic shift).
 
-Blocks are padded to a common static N; pad positions carry rank N and sort
-to the tail.  origPtr follows the tie policy documented in
-``bzip2_tpu.oracle.bwt`` (identical bytes + size; the reference's
-content-chaotic tie order for exactly-periodic blocks is not reproduced).
+Blocks are padded to a common static N; pad positions sort to the tail.
+origPtr follows the tie policy documented in ``bzip2_tpu.oracle.bwt``
+(identical bytes + size; the reference's content-chaotic tie order for
+exactly-periodic blocks is not reproduced).
 """
 from __future__ import annotations
 
@@ -18,18 +31,58 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+INF = jnp.int32(0x7FFFFFFF)
+_INIT_BYTES = 16          # initial rank depth (4 packed u32 keys)
+_MIRROR = 2048            # static width of the pad-mirror region
 
-def _rerank(order: jnp.ndarray, r1s: jnp.ndarray, r2s: jnp.ndarray) -> jnp.ndarray:
-    """Compact class ids from sorted key columns; scatter back to positions."""
-    b, n = order.shape
-    changed = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32),
-         ((r1s[:, 1:] != r1s[:, :-1]) | (r2s[:, 1:] != r2s[:, :-1])).astype(jnp.int32)],
-        axis=1)
-    class_id = jnp.cumsum(changed, axis=1)
-    rank = jnp.zeros((b, n), jnp.int32)
-    rank = rank.at[jnp.arange(b)[:, None], order].set(class_id)
-    return rank
+
+def _pack4(p0, p1, p2, p3):
+    """Four byte planes -> one sign-biased int32 sort key (unsigned order)."""
+    k = (p0 << 24) | (p1 << 16) | (p2 << 8) | p3
+    return k ^ jnp.int32(-0x80000000)
+
+
+def _gapped_rerank(order, key_cols):
+    """From sorted key columns, compute per-position gapped ranks and tie
+    flags.  order: (B, S) original positions of the sorted entries (may be
+    a compact subset); key_cols: list of (B, S) sorted key columns.
+
+    Returns (start (B,S) int32 gapped rank per sorted entry,
+             singleton (B,S) bool)."""
+    B, S = order.shape
+    j = jnp.arange(S, dtype=jnp.int32)[None, :]
+    changed = jnp.zeros((B, S), bool).at[:, 0].set(True)
+    for c in key_cols:
+        changed = changed | jnp.concatenate(
+            [jnp.ones((B, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
+    start = lax.cummax(jnp.where(changed, j, 0), axis=1)
+    nxt = jnp.concatenate([changed[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    singleton = changed & nxt
+    return start, singleton
+
+
+def _scatter_rank(order, start, singleton, valid, n, N, mirror=True):
+    """Scatter gapped ranks (packed with tie flags) back to position space,
+    refresh the pad-mirror region, and return (rank (B,N), tied (B,N),
+    unres (B,))."""
+    B = order.shape[0]
+    br = jnp.arange(B, dtype=jnp.int32)[:, None]
+    v = (start << 1) | singleton.astype(jnp.int32)
+    packed = jnp.zeros((B, N), jnp.int32).at[br, order].set(v)
+    rank = packed >> 1
+    tied = jnp.logical_not(packed & 1) & valid
+    unres = jnp.sum(tied.astype(jnp.int32), axis=1)
+    if mirror:
+        ms = min(_MIRROR, N)
+        jm = jnp.arange(ms, dtype=jnp.int32)[None, :]
+        tgt = jnp.minimum(n[:, None] + jm, N - 1)
+        # overwrite the pad region with a cyclic mirror of rank[0:ms] so a
+        # static roll can realize rank[(i+k) mod n] while k <= slack.
+        mirror_vals = rank[:, :ms]
+        keep = (n[:, None] + jm) < N
+        rank = rank.at[br, jnp.where(keep, tgt, N - 1)].set(
+            jnp.where(keep, mirror_vals, rank[:, N - 1][:, None]))
+    return rank, tied, unres
 
 
 def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
@@ -41,55 +94,155 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
     B, N = blocks.shape
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     valid = idx < n[:, None]
-    pad_rank = jnp.int32(N)
     nn = jnp.maximum(n[:, None], 1)
+    br = jnp.arange(B, dtype=jnp.int32)[:, None]
+    min_slack = N - jnp.max(n)          # roll fast path bound (may be 0)
 
-    # Initial ranks from 4-byte cyclic prefixes, packed into one int32 key
-    # (bias by the sign bit so unsigned byte order survives signed sort).
-    bi = blocks.astype(jnp.int32)
-    k4 = bi
-    for off in (1, 2, 3):
-        nxt = jnp.take_along_axis(bi, jnp.remainder(idx + off, nn), axis=1)
-        k4 = (k4 << 8) | nxt
-    key0 = jnp.where(valid, k4 ^ jnp.int32(-0x80000000), jnp.int32(0x7FFFFFFF))
-    k0s, order = lax.sort((key0, jnp.broadcast_to(idx, (B, N))),
-                          dimension=1, is_stable=True, num_keys=1)
-    rank = _rerank(order, k0s, k0s)
-    rank = jnp.where(valid, rank, pad_rank)
+    # --- cyclically-extended byte buffer: bx[i] = block[i mod n] for
+    # i < n + 16 (works for any n >= 1 via the mod-n wrap gather).
+    bi = jnp.where(valid, blocks, 0).astype(jnp.int32)
+    wrap = jnp.take_along_axis(
+        bi, jnp.remainder(jnp.arange(_INIT_BYTES, dtype=jnp.int32)[None, :], nn),
+        axis=1)                                              # (B, 16)
+    bx = jnp.concatenate([bi, jnp.zeros((B, _INIT_BYTES), jnp.int32)], axis=1)
+    ext_j = jnp.arange(_INIT_BYTES, dtype=jnp.int32)[None, :]
+    bx = bx.at[br, n[:, None] + ext_j].set(wrap)
 
-    def cond(state):
-        rank, order, k, done = state
-        return jnp.logical_and(k < N, jnp.logical_not(done))
+    # --- 16-byte initial keys from static rolls (no gathers).
+    planes = [bx]
+    for _ in range(_INIT_BYTES - 1):
+        planes.append(jnp.roll(planes[-1], -1, axis=1))
+    planes = [p[:, :N] for p in planes]
+    keys = [
+        jnp.where(valid, _pack4(*planes[o:o + 4]), INF)
+        for o in range(0, _INIT_BYTES, 4)
+    ]
+    sorted_ops = lax.sort(tuple(keys) + (jnp.broadcast_to(idx, (B, N)),),
+                          dimension=1, is_stable=True, num_keys=len(keys))
+    order = sorted_ops[-1]
+    start, singleton = _gapped_rerank(order, list(sorted_ops[:-1]))
+    rank, tied, unres = _scatter_rank(order, start, singleton, valid, n, N)
 
-    def body(state):
-        rank, _, k, _ = state
-        shifted = jnp.remainder(idx + k, nn)
-        rank2 = jnp.where(valid,
-                          jnp.take_along_axis(rank, shifted, axis=1),
-                          pad_rank)
+    # ---------------- stage 1: full-width doubling passes ----------------
+    def neighbour_ranks(rank, k):
+        """rank[(i+k) mod n] for all positions (roll fast path when the pad
+        mirror covers the shift)."""
+        def via_roll(_):
+            return jnp.roll(rank, -k, axis=1)
+
+        def via_gather(_):
+            return jnp.take_along_axis(rank, jnp.remainder(idx + k, nn), axis=1)
+
+        return lax.cond(k <= jnp.minimum(min_slack, _MIRROR), via_roll,
+                        via_gather, 0)
+
+    CAP1 = max(N // 2, 128)
+
+    def full_cond(state):
+        _, _, k, unres = state
+        return jnp.logical_and(k < N, jnp.any(unres > CAP1))
+
+    def full_body(state):
+        rank, tied, k, _ = state
+        r1 = jnp.where(valid, rank, INF)
+        r2 = jnp.where(valid, neighbour_ranks(rank, k), INF)
         r1s, r2s, order = lax.sort(
-            (rank, rank2, jnp.broadcast_to(idx, (B, N))),
+            (r1, r2, jnp.broadcast_to(idx, (B, N))),
             dimension=1, is_stable=True, num_keys=2)
-        new_rank = _rerank(order, r1s, r2s)
-        new_rank = jnp.where(valid, new_rank, pad_rank)
-        max_rank = jnp.max(jnp.where(valid, new_rank, -1), axis=1)
-        done = jnp.all(max_rank == n - 1)
-        return new_rank, order, k * 2, done
+        start, singleton = _gapped_rerank(order, [r1s, r2s])
+        rank, tied, unres = _scatter_rank(order, start, singleton, valid, n, N)
+        return rank, tied, k * 2, unres
 
-    done0 = jnp.all(n < 0)  # always False; derived from data for shard_map
-    rank, sa, _, _ = lax.while_loop(
-        cond, body, (rank, order, jnp.int32(4), done0))
+    k0 = jnp.int32(_INIT_BYTES)
+    rank, tied, k, unres = lax.while_loop(
+        full_cond, full_body, (rank, tied, k0, unres))
 
-    last = jnp.where(valid,
-                     jnp.take_along_axis(
-                         blocks, jnp.remainder(sa + nn - 1, nn), axis=1),
-                     0).astype(jnp.uint8)
+    # -------------- stages 2+: compact active-set refinement --------------
+    # rankD gets a dump column at N for discarded scatter lanes.
+    rankD = jnp.concatenate([rank, jnp.full((B, 1), N, jnp.int32)], axis=1)
+
+    def compact_from_positions(tied, cap):
+        """Gather tied positions into a (B, cap) buffer (p, r1, res)."""
+        dest = jnp.cumsum(tied.astype(jnp.int32), axis=1) - 1
+        keep = tied & (dest < cap)
+        slot = jnp.where(keep, dest, cap)
+        p = jnp.full((B, cap + 1), -1, jnp.int32).at[br, slot].set(
+            jnp.where(keep, idx, -1))[:, :cap]
+        return p
+
+    def recompact(p, unresolved, cap):
+        """Shrink a compact buffer, keeping unresolved entries only."""
+        act = unresolved
+        dest = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
+        keep = act & (dest < cap)
+        slot = jnp.where(keep, dest, cap)
+        newp = jnp.full((B, cap + 1), -1, jnp.int32).at[br, slot].set(
+            jnp.where(keep, p, -1))[:, :cap]
+        return newp
+
+    def compact_stage(rankD, p, k, unres, next_thresh):
+        """Doubling passes over a compact buffer until every lane's
+        unresolved count drops to next_thresh (or all resolved / k >= N)."""
+        C = p.shape[1]
+        jc = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+        def cond(state):
+            _, _, _, k, unres = state
+            return jnp.logical_and(k < N, jnp.any(unres > next_thresh))
+
+        def body(state):
+            rankD, p, unresolved, k, _ = state
+            live = p >= 0
+            r1 = jnp.where(live, jnp.take_along_axis(
+                rankD, jnp.where(live, p, N), axis=1), INF)
+            q = jnp.where(live, jnp.remainder(p + k, nn), N)
+            r2 = jnp.where(live, jnp.take_along_axis(rankD, q, axis=1), INF)
+            r1s, r2s, ps = lax.sort((r1, r2, p), dimension=1,
+                                    is_stable=True, num_keys=2)
+            lives = ps >= 0
+            changed_seg = jnp.concatenate(
+                [jnp.ones((B, 1), bool), r1s[:, 1:] != r1s[:, :-1]], axis=1)
+            changed_sub = changed_seg | jnp.concatenate(
+                [jnp.ones((B, 1), bool), r2s[:, 1:] != r2s[:, :-1]], axis=1)
+            seg_start = lax.cummax(jnp.where(changed_seg, jc, 0), axis=1)
+            sub_start = lax.cummax(jnp.where(changed_sub, jc, 0), axis=1)
+            new_r1 = r1s + (sub_start - seg_start)
+            nxt = jnp.concatenate(
+                [changed_sub[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+            unresolved = jnp.logical_not(changed_sub & nxt) & lives
+            rankD = rankD.at[br, jnp.where(lives, ps, N)].set(
+                jnp.where(lives, new_r1, N))
+            unres = jnp.sum(unresolved.astype(jnp.int32), axis=1)
+            return rankD, ps, unresolved, k * 2, unres
+
+        # at stage entry every live buffer entry is (still) unresolved
+        unres0 = p >= 0
+        return lax.while_loop(cond, body, (rankD, p, unres0, k, unres))
+
+    CAP2 = max(N // 8, 128)
+    CAP3 = max(N // 32, 128)
+    p1 = compact_from_positions(tied, CAP1)
+    rankD, p1, unres1_f, k, unres = compact_stage(rankD, p1, k, unres, CAP2)
+    p2 = recompact(p1, unres1_f, CAP2)
+    rankD, p2, unres2_f, k, unres = compact_stage(rankD, p2, k, unres, CAP3)
+    p3 = recompact(p2, unres2_f, CAP3)
+    rankD, p3, _, k, unres = compact_stage(rankD, p3, k, unres, 0)
+    rank = rankD[:, :N]
+
+    # ---------------- final order + last column + origPtr ----------------
+    # prev-byte plane: pb[i] = block[(i-1) mod n]
+    lastb = jnp.take_along_axis(bi, jnp.maximum(n - 1, 0)[:, None], axis=1)
+    pb = jnp.where(idx == 0, lastb, jnp.roll(bx, 1, axis=1)[:, :N])
+    rk = jnp.where(valid, rank, INF)
+    _, sa, pbs = lax.sort((rk, jnp.broadcast_to(idx, (B, N)), pb),
+                          dimension=1, is_stable=True, num_keys=1)
+    last = jnp.where(valid, pbs, 0).astype(jnp.uint8)
 
     # origPtr tie policy (see oracle.bwt).
     r0 = rank[:, 0]
-    base = jnp.sum(jnp.where(valid, (rank < r0[:, None]).astype(jnp.int32), 0), axis=1)
+    base = jnp.sum(jnp.where(valid & (rank < r0[:, None]), 1, 0), axis=1)
     max_rank = jnp.max(jnp.where(valid, rank, -1), axis=1)
     ties = max_rank < (n - 1)
     all_equal = max_rank == 0
-    orig_ptr = base + jnp.where(jnp.logical_and(ties, jnp.logical_not(all_equal)), 1, 0)
+    orig_ptr = base + jnp.where(ties & jnp.logical_not(all_equal), 1, 0)
     return last, orig_ptr.astype(jnp.int32), sa
