@@ -63,9 +63,8 @@ static inline u32 crc_byte(u32 crc, u8 b) {
   return (crc << 8) ^ g_crc_tab[0][(crc >> 24) ^ b];
 }
 
-u32 bz2tpu_crc32(const u8* data, i64 n) {
-  crc_init();
-  u32 c = 0xffffffffu;
+// slice-by-8 update, no init/finalise (callers manage the 0xffffffff wrap)
+static u32 crc_update(u32 c, const u8* data, i64 n) {
   i64 i = 0;
   for (; i + 8 <= n; i += 8) {
     u32 hi = (u32(data[i]) << 24) | (u32(data[i + 1]) << 16) |
@@ -77,7 +76,12 @@ u32 bz2tpu_crc32(const u8* data, i64 n) {
         g_crc_tab[1][data[i + 6]] ^ g_crc_tab[0][data[i + 7]];
   }
   for (; i < n; i++) c = crc_byte(c, data[i]);
-  return ~c;
+  return c;
+}
+
+u32 bz2tpu_crc32(const u8* data, i64 n) {
+  crc_init();
+  return ~crc_update(0xffffffffu, data, n);
 }
 
 // ------------------------------------------------- Huffman length builder --
@@ -413,41 +417,42 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
   }
   if (n == 0 || (i32)orig_ptr >= n) return BZT_DATA_ERROR;
 
-  // inverse BWT: stable counting order; walk successor chain with fused
-  // RLE1 expansion + CRC (+ optional legacy derandomisation).
+  // inverse BWT: stable counting order with char + successor fused into one
+  // u32 per entry (one random access per output byte; the reference's
+  // composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444),
+  // then walk the chain with RLE1 expansion (+ optional legacy
+  // derandomisation).  The block CRC runs vectorised (slice-by-8) over the
+  // finished output span instead of per-byte inside the chain walk.
   for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
-  for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = i;
-  if (!ob.grow((i64)n + 8)) return BZT_MEM_ERROR;
-  u32 crc = 0xffffffffu;
+  for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = ((u32)i << 8) | blk[i];
+  if (!ob.grow((i64)n + 300)) return BZT_MEM_ERROR;
+  i64 out_start = ob.len;
   RandState rs;
-  u32 pos = tt[orig_ptr];
+  u32 t = tt[orig_ptr];
   i32 left = n;
   i32 run_ch = -1, run_len = 0;
   while (left > 0) {
-    u8 ch = blk[pos];
-    pos = tt[pos];
+    u8 ch = (u8)t;
+    t = tt[t >> 8];
     left--;
     if (randomised) ch ^= (u8)rs.next_mask();
     if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
-    if (!ob.grow(1)) return BZT_MEM_ERROR;
+    if (ob.len + 300 > ob.cap && !ob.grow(300)) return BZT_MEM_ERROR;
     ob.p[ob.len++] = ch;
-    crc = crc_byte(crc, ch);
     if (run_len == 4) {
       if (left == 0) return BZT_DATA_ERROR;
-      u8 cnt = blk[pos];
-      pos = tt[pos];
+      u8 cnt = (u8)t;
+      t = tt[t >> 8];
       left--;
       if (randomised) cnt ^= (u8)rs.next_mask();
       if (cnt) {
-        if (!ob.grow(cnt)) return BZT_MEM_ERROR;
         memset(ob.p + ob.len, ch, cnt);
         ob.len += cnt;
-        for (i32 k = 0; k < cnt; k++) crc = crc_byte(crc, ch);
       }
       run_ch = -1; run_len = 0;
     }
   }
-  crc = ~crc;
+  u32 crc = ~crc_update(0xffffffffu, ob.p + out_start, ob.len - out_start);
   if (crc != stored_crc) return BZT_DATA_ERROR;
   *combined = ((*combined << 1) | (*combined >> 31)) ^ crc;
   return BZT_OK;
