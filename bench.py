@@ -71,11 +71,15 @@ def main():
     log(f"devices: {jax.devices()}  level={level}  input={len(data) / 1e6:.1f} MB")
 
     eng = Engine()
-    # Warm: compile on a small prefix (same (level, batch) executables).
+    # Warm: compile + pre-fault host memory (this VM's first-touch page
+    # faults run ~100x slower than reuse; see bzip2_tpu/hostmem.py) by
+    # running the full pipeline once untimed.
+    from bzip2_tpu import hostmem
     t0 = time.time()
-    warm = eng.compress(data[: (100_000 * level) * eng._batch_size_for(level)],
-                        level)
-    log(f"warm/compile: {time.time() - t0:.1f}s")
+    hostmem.warm_heap(min(512 << 20, 4 * len(data) + (256 << 20)))
+    warm = eng.compress(data, level)
+    native.decompress(warm)
+    log(f"warm (compile + heap prefault + full pass): {time.time() - t0:.1f}s")
 
     t0 = time.time()
     comp = eng.compress(data, level)

@@ -26,7 +26,10 @@ import numpy as np
 
 from . import constants as C
 from . import crc as _crc
+from . import hostmem as _hostmem
 from . import rle1 as _rle1
+
+_hostmem.set_malloc_retention()
 from .bitstream import BitWriter, splice
 from .ops.bitpack import pack_fields
 from .ops.bwt import bwt_batched

@@ -119,11 +119,8 @@ def encode_blocks(data, level: int, _nmax: int | None = None) -> List[RLE1Block]
     seg_raw_ends = np.cumsum(seg_lens)
     blocks: List[RLE1Block] = []
     seg_ptr = 0
-    out_offs = np.concatenate([[0], csum])
     for b in range(n_blocks):
-        seg_end = seg_ptr
-        while seg_end < m and seg_block_id[seg_end] == b:
-            seg_end += 1
+        seg_end = int(np.searchsorted(seg_block_id, b, side="right"))
         raw_start = int(seg_raw_ends[seg_ptr - 1]) if seg_ptr > 0 else 0
         raw_end = int(seg_raw_ends[seg_end - 1])
         out = _encode_segments(chars[seg_ptr:seg_end], seg_lens[seg_ptr:seg_end])
