@@ -44,6 +44,10 @@ def _load():
     lib.bz2tpu_free.argtypes = [ct.c_void_p]
     lib.bz2tpu_set_rnums.restype = None
     lib.bz2tpu_set_rnums.argtypes = [ct.c_void_p]
+    lib.bz2tpu_rle1_split.restype = ct.c_int64
+    lib.bz2tpu_rle1_split.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int32, ct.c_void_p, ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64]
     from ..rand_table import RNUMS
     r = np.ascontiguousarray(RNUMS, dtype=np.int32)
     lib.bz2tpu_set_rnums(r.ctypes.data_as(ct.c_void_p))
@@ -60,6 +64,40 @@ def crc32(data) -> int:
     buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
     buf = np.ascontiguousarray(buf)
     return int(lib.bz2tpu_crc32(buf.ctypes.data_as(ct.c_void_p), buf.size))
+
+
+def rle1_split(data, nmax: int):
+    """RLE1-encode + block-split (reference bzlib.c:212-315 semantics; see
+    bzip2_tpu/rle1.py).  Returns (out u8 buffer, block_off i64, block_len
+    i32, block_crc u32, in_use bool (B,256), raw_end i64) or None if the
+    native runtime is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray)
+        else data)
+    n = buf.size
+    max_blocks = n // max(nmax, 1) + 2
+    out = np.empty(n + n // 4 + 16, np.uint8)
+    block_off = np.empty(max_blocks, np.int64)
+    block_len = np.empty(max_blocks, np.int32)
+    block_crc = np.empty(max_blocks, np.uint32)
+    in_use = np.empty((max_blocks, 256), np.uint8)
+    raw_end = np.empty(max_blocks, np.int64)
+    nb = lib.bz2tpu_rle1_split(
+        buf.ctypes.data_as(ct.c_void_p), n, np.int32(nmax),
+        out.ctypes.data_as(ct.c_void_p),
+        block_off.ctypes.data_as(ct.c_void_p),
+        block_len.ctypes.data_as(ct.c_void_p),
+        block_crc.ctypes.data_as(ct.c_void_p),
+        in_use.ctypes.data_as(ct.c_void_p),
+        raw_end.ctypes.data_as(ct.c_void_p), max_blocks)
+    if nb < 0:
+        return None
+    nb = int(nb)
+    return (out, block_off[:nb], block_len[:nb], block_crc[:nb],
+            in_use[:nb].astype(bool), raw_end[:nb])
 
 
 def make_code_lengths_batch(freqs: np.ndarray, alphas: np.ndarray,

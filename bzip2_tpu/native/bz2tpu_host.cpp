@@ -648,4 +648,72 @@ done:
 
 void bz2tpu_free(u8* p) { free(p); }
 
+// ------------------------------------------------------------------ RLE1 --
+// Byte-level run-length pre-pass + block split (reference
+// copy_input_until_stop, bzlib.c:212-315; split semantics documented and
+// verified in bzip2_tpu/rle1.py).  Segments = maximal runs chopped at 255;
+// a segment of length L emits min(L,4) literals plus (L-4) for L >= 4;
+// segments flush whole, and a block closes after the segment that brings
+// it to >= nmax output bytes unless that segment is the stream's last.
+//
+// out:        caller buffer, >= len + len/4 + 8 bytes
+// block_off:  (max_blocks) output offset of each block
+// block_len:  (max_blocks) RLE1-encoded length of each block
+// block_crc:  (max_blocks) finalized CRC-32 of the covered raw bytes
+// in_use:     (max_blocks * 256) 0/1 flags
+// raw_end:    (max_blocks) exclusive raw-input end of each block
+// Returns the number of blocks, or -1 if max_blocks would be exceeded.
+i64 bz2tpu_rle1_split(const u8* data, i64 len, i32 nmax, u8* out,
+                      i64* block_off, i32* block_len, u32* block_crc,
+                      u8* in_use, i64* raw_end, i64 max_blocks) {
+  crc_init();
+  i64 n_blocks = 0;
+  i64 opos = 0;
+  i64 blk_out0 = 0, blk_raw0 = 0;
+  u8* use = in_use;
+  bool open = false;
+  i64 i = 0;
+  while (i < len) {
+    if (!open) {
+      if (n_blocks >= max_blocks) return -1;
+      memset(use, 0, 256);
+      blk_out0 = opos;
+      blk_raw0 = i;
+      open = true;
+    }
+    u8 c = data[i];
+    i64 j = i + 1;
+    i64 stop = i + 255 < len ? i + 255 : len;
+    while (j < stop && data[j] == c) j++;
+    i64 L = j - i;
+    i64 lit = L < 4 ? L : 4;
+    for (i64 t = 0; t < lit; t++) out[opos++] = c;
+    use[c] = 1;
+    if (L >= 4) {
+      out[opos++] = (u8)(L - 4);
+      use[(u8)(L - 4)] = 1;
+    }
+    i = j;
+    if (opos - blk_out0 >= nmax && i < len) {
+      block_off[n_blocks] = blk_out0;
+      block_len[n_blocks] = (i32)(opos - blk_out0);
+      block_crc[n_blocks] = ~crc_update(0xffffffffu, data + blk_raw0,
+                                        i - blk_raw0);
+      raw_end[n_blocks] = i;
+      n_blocks++;
+      use += 256;
+      open = false;
+    }
+  }
+  if (open) {
+    block_off[n_blocks] = blk_out0;
+    block_len[n_blocks] = (i32)(opos - blk_out0);
+    block_crc[n_blocks] = ~crc_update(0xffffffffu, data + blk_raw0,
+                                      len - blk_raw0);
+    raw_end[n_blocks] = len;
+    n_blocks++;
+  }
+  return n_blocks;
+}
+
 }  // extern "C"

@@ -87,9 +87,29 @@ def _encode_segments(chars: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
 def encode_blocks(data, level: int, _nmax: int | None = None) -> List[RLE1Block]:
     """RLE1-encode ``data`` and split into blocks exactly as the reference's
     streaming one-shot FINISH path does.  ``_nmax`` overrides the block byte
-    budget (tests only)."""
+    budget (tests only).  Uses the native C++ splitter when available (the
+    NumPy path below is the verified semantic spec and the fallback)."""
     buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
     nmax = nblock_max(level) if _nmax is None else _nmax
+
+    try:
+        from . import native
+        res = native.rle1_split(buf, nmax) if native.available() else None
+    except Exception:
+        res = None
+    if res is not None:
+        out, block_off, block_len, block_crc, in_use, raw_end = res
+        blocks = []
+        raw_start = 0
+        for b in range(block_off.size):
+            o = int(block_off[b])
+            blocks.append(RLE1Block(
+                data=out[o:o + int(block_len[b])],
+                crc=int(block_crc[b]),
+                in_use=in_use[b],
+                raw_span=(raw_start, int(raw_end[b]))))
+            raw_start = int(raw_end[b])
+        return blocks
     chars, seg_lens = _segments_of(buf)
     m = chars.size
     if m == 0:
