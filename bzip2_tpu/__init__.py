@@ -22,6 +22,8 @@ from .api import (BZ2Error, DataError, DataErrorMagic, UnexpectedEOF,
                   get_default_backend, set_default_backend)
 from .stream import Compressor as BZ2Compressor
 from .stream import Decompressor as BZ2Decompressor
+from .tracing import set_verbosity, profile_trace, enable_metrics
+from .tracing import collect as collect_metrics
 
 
 def open(*args, **kwargs):  # noqa: A001  (mirror bz2.open)

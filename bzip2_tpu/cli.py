@@ -401,6 +401,9 @@ def main(argv=None, prog_name=None) -> int:
     opts, files, early = _parse_args(argv, prog_name)
     if early is not None or opts is None:
         return early if early is not None else EXIT_ENV
+    if opts.verbosity:
+        from . import tracing
+        tracing.set_verbosity(opts.verbosity)
     if opts.backend == "tpu":
         try:
             import bzip2_tpu

@@ -28,6 +28,7 @@ from . import constants as C
 from . import crc as _crc
 from . import hostmem as _hostmem
 from . import rle1 as _rle1
+from . import tracing
 
 _hostmem.set_malloc_retention()
 from .bitstream import BitWriter, splice
@@ -305,13 +306,22 @@ class Engine:
 
         def run(i):
             nb, arr, ns, uses, crcs = prep(i)
-            words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
+            with tracing.span(f"batch[{i}:{i + nb}]"):
+                words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
             res = []
             for j in range(nb):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]
                 by = payload.byteswap().view(np.uint8)  # MSB-first bytes
                 res.append((by[: (nbit + 7) // 8], nbit))
+                blk = blocks[i + j]
+                tracing.vlog(2, "    block %d: crc 0x%08x, in %d, out %d bits"
+                             " (%.3f bits/byte)", i + j, blk.crc,
+                             blk.raw_span[1] - blk.raw_span[0], nbit,
+                             nbit / max(blk.raw_span[1] - blk.raw_span[0], 1))
+                tracing.record("block", index=i + j, crc=blk.crc,
+                               raw_bytes=blk.raw_span[1] - blk.raw_span[0],
+                               rle1_bytes=int(blk.data.size), out_bits=nbit)
             return res
 
         starts = list(range(0, len(blocks), bsz))
