@@ -158,43 +158,46 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
         full_cond, full_body, (rank, tied, k0, unres))
 
     # -------------- stages 2+: compact active-set refinement --------------
-    # rankD gets a dump column at N for discarded scatter lanes.
+    # rankD gets a dump column at N for discarded scatter lanes.  Buffers
+    # carry (p, r1) so each pass gathers only the neighbour rank r2.
     rankD = jnp.concatenate([rank, jnp.full((B, 1), N, jnp.int32)], axis=1)
 
-    def compact_from_positions(tied, cap):
-        """Gather tied positions into a (B, cap) buffer (p, r1, res)."""
+    def compact_from_positions(tied, rank, cap):
+        """Gather tied positions (+ their ranks) into (B, cap) buffers."""
         dest = jnp.cumsum(tied.astype(jnp.int32), axis=1) - 1
         keep = tied & (dest < cap)
         slot = jnp.where(keep, dest, cap)
         p = jnp.full((B, cap + 1), -1, jnp.int32).at[br, slot].set(
             jnp.where(keep, idx, -1))[:, :cap]
-        return p
+        r1 = jnp.full((B, cap + 1), INF, jnp.int32).at[br, slot].set(
+            jnp.where(keep, rank, INF))[:, :cap]
+        return p, r1
 
-    def recompact(p, unresolved, cap):
+    def recompact(p, r1, unresolved, cap):
         """Shrink a compact buffer, keeping unresolved entries only."""
-        act = unresolved
-        dest = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
-        keep = act & (dest < cap)
+        dest = jnp.cumsum(unresolved.astype(jnp.int32), axis=1) - 1
+        keep = unresolved & (dest < cap)
         slot = jnp.where(keep, dest, cap)
-        newp = jnp.full((B, cap + 1), -1, jnp.int32).at[br, slot].set(
+        brc = br
+        newp = jnp.full((B, cap + 1), -1, jnp.int32).at[brc, slot].set(
             jnp.where(keep, p, -1))[:, :cap]
-        return newp
+        newr = jnp.full((B, cap + 1), INF, jnp.int32).at[brc, slot].set(
+            jnp.where(keep, r1, INF))[:, :cap]
+        return newp, newr
 
-    def compact_stage(rankD, p, k, unres, next_thresh):
+    def compact_stage(rankD, p, r1, k, unres, next_thresh):
         """Doubling passes over a compact buffer until every lane's
         unresolved count drops to next_thresh (or all resolved / k >= N)."""
         C = p.shape[1]
         jc = jnp.arange(C, dtype=jnp.int32)[None, :]
 
         def cond(state):
-            _, _, _, k, unres = state
+            _, _, _, _, k, unres = state
             return jnp.logical_and(k < N, jnp.any(unres > next_thresh))
 
         def body(state):
-            rankD, p, unresolved, k, _ = state
+            rankD, p, r1, unresolved, k, _ = state
             live = p >= 0
-            r1 = jnp.where(live, jnp.take_along_axis(
-                rankD, jnp.where(live, p, N), axis=1), INF)
             q = jnp.where(live, jnp.remainder(p + k, nn), N)
             r2 = jnp.where(live, jnp.take_along_axis(rankD, q, axis=1), INF)
             r1s, r2s, ps = lax.sort((r1, r2, p), dimension=1,
@@ -206,27 +209,28 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
                 [jnp.ones((B, 1), bool), r2s[:, 1:] != r2s[:, :-1]], axis=1)
             seg_start = lax.cummax(jnp.where(changed_seg, jc, 0), axis=1)
             sub_start = lax.cummax(jnp.where(changed_sub, jc, 0), axis=1)
-            new_r1 = r1s + (sub_start - seg_start)
+            new_r1 = jnp.where(lives, r1s + (sub_start - seg_start), INF)
             nxt = jnp.concatenate(
                 [changed_sub[:, 1:], jnp.ones((B, 1), bool)], axis=1)
             unresolved = jnp.logical_not(changed_sub & nxt) & lives
             rankD = rankD.at[br, jnp.where(lives, ps, N)].set(
                 jnp.where(lives, new_r1, N))
             unres = jnp.sum(unresolved.astype(jnp.int32), axis=1)
-            return rankD, ps, unresolved, k * 2, unres
+            return rankD, ps, new_r1, unresolved, k * 2, unres
 
         # at stage entry every live buffer entry is (still) unresolved
         unres0 = p >= 0
-        return lax.while_loop(cond, body, (rankD, p, unres0, k, unres))
+        return lax.while_loop(cond, body, (rankD, p, r1, unres0, k, unres))
 
-    CAP2 = max(N // 8, 128)
-    CAP3 = max(N // 32, 128)
-    p1 = compact_from_positions(tied, CAP1)
-    rankD, p1, unres1_f, k, unres = compact_stage(rankD, p1, k, unres, CAP2)
-    p2 = recompact(p1, unres1_f, CAP2)
-    rankD, p2, unres2_f, k, unres = compact_stage(rankD, p2, k, unres, CAP3)
-    p3 = recompact(p2, unres2_f, CAP3)
-    rankD, p3, _, k, unres = compact_stage(rankD, p3, k, unres, 0)
+    # stage buffers shrink geometrically (x4): each stage runs until the
+    # unresolved set fits the next bucket, keeping buffers <=4x oversized.
+    caps = [max(N // 4, 128), max(N // 16, 128), max(N // 64, 128)]
+    p_buf, r_buf = compact_from_positions(tied, rank, CAP1)
+    for cap in caps + [0]:
+        rankD, p_buf, r_buf, unres_f, k, unres = compact_stage(
+            rankD, p_buf, r_buf, k, unres, cap)
+        if cap:
+            p_buf, r_buf = recompact(p_buf, r_buf, unres_f, cap)
     rank = rankD[:, :N]
 
     # ---------------- final order + last column + origPtr ----------------

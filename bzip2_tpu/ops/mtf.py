@@ -26,16 +26,26 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
     """seq: int32 (B, N) remapped symbols (0..255); valid: bool (B, N).
     Returns int32 (B, N) MTF list positions (pad positions garbage).
 
-    Two-level structure: tiles are processed *in parallel* (the carry between
-    tiles is an associative prefix-max of per-symbol last occurrences), with
-    a short outer ``lax.scan`` only to bound peak memory (each step
-    materializes ~step_bytes of (B, tiles, tile, 256) intermediates).
+    Two-level structure: tiles are processed *in parallel* (the carry
+    between tiles is an associative prefix-max of per-symbol last
+    occurrences, kept at tile granularity in int32), while all per-position
+    work inside a tile runs in int16 — within-tile occurrence times fit
+    i16, halving the traffic of the dominant (T, 256) buffers.  rank[i]
+    splits as:
+
+      cur seen in tile prefix:   #{s: excl16[s] > excl16[cur]}
+      cur not in tile prefix:    #{s seen in prefix}          (all beat cur)
+                               + #{s unseen: L[s] > L[cur]}   (tile carries)
+
+    A short outer ``lax.scan`` bounds peak memory (each step materializes
+    ~step_bytes of (B, tiles, tile, 256) intermediates).
     """
     B, N = seq.shape
     assert N % tile == 0, "pad N to a multiple of the MTF tile"
+    assert tile < (1 << 15)
     n_tiles = N // tile
     # Choose the number of tiles per outer step from the memory budget.
-    per_tile_bytes = B * tile * 256 * 4
+    per_tile_bytes = B * tile * 256 * 2
     tiles_per_step = max(1, min(n_tiles, step_bytes // max(per_tile_bytes, 1)))
     n_steps = -(-n_tiles // tiles_per_step)
     pad_tiles = n_steps * tiles_per_step - n_tiles
@@ -48,30 +58,37 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
     C = tiles_per_step
     seq_t = seq_p.reshape(B, n_steps, C, tile).transpose(1, 0, 2, 3)
     val_t = val_p.reshape(B, n_steps, C, tile).transpose(1, 0, 2, 3)
-    pos_t = (jnp.arange(n_steps * C * tile, dtype=jnp.int32)
-             .reshape(n_steps, 1, C, tile))
+    base_t = (jnp.arange(n_steps * C, dtype=jnp.int32) * tile
+              ).reshape(n_steps, 1, C)                    # tile start offsets
 
     sym_ids = jnp.arange(256, dtype=jnp.int32)
+    iota16 = jnp.arange(tile, dtype=jnp.int16)[None, None, :, None]
+    neg1_16 = jnp.int16(-1)
 
     def step(carry, inputs):
-        s, v, pos = inputs                       # (B,C,T), (B,C,T), (1,C,T)
-        onehot = s[..., None] == sym_ids
-        occ = jnp.where(onehot & v[..., None], pos[..., None], _NEG)
-        incl = lax.cummax(occ, axis=2)           # within-tile prefix max
-        tile_last = incl[:, :, -1, :]            # (B,C,256)
-        # exclusive prefix-max across tiles in this chunk, seeded by carry
-        shifted = jnp.concatenate(
-            [carry[:, None, :], tile_last[:, :-1, :]], axis=1)
-        carr = lax.cummax(shifted, axis=1)       # (B,C,256) carry per tile
-        excl = jnp.concatenate(
-            [carr[:, :, None, :],
-             jnp.maximum(incl[:, :, :-1, :], carr[:, :, None, :])], axis=2)
-        cur = jnp.take_along_axis(excl, s[..., None], axis=3)
-        ranks = jnp.sum((excl > cur).astype(jnp.int32), axis=3)
-        new_carry = jnp.maximum(carr[:, -1, :], tile_last[:, -1, :])
+        s, v, base = inputs                      # (B,C,T), (B,C,T), (1,C)
+        onehot = (s[..., None] == sym_ids) & v[..., None]
+        occ16 = jnp.where(onehot, iota16, neg1_16)
+        incl16 = lax.cummax(occ16, axis=2)       # (B,C,T,256) i16
+        excl16 = jnp.concatenate(
+            [jnp.full((B, C, 1, 256), neg1_16), incl16[:, :, :-1, :]], axis=2)
+        cur16 = jnp.take_along_axis(excl16, s[..., None], axis=3)
+        within = jnp.sum(excl16 > cur16, axis=3, dtype=jnp.int32)
+
+        # tile-granular carries (global last occurrence before each tile)
+        tile_last16 = incl16[:, :, -1, :]        # (B,C,256)
+        tl32 = jnp.where(tile_last16 >= 0,
+                         base[..., None] + tile_last16.astype(jnp.int32), _NEG)
+        shifted = jnp.concatenate([carry[:, None, :], tl32[:, :-1, :]], axis=1)
+        Lx = lax.cummax(shifted, axis=1)         # (B,C,256) exclusive
+        prvL = jnp.take_along_axis(Lx, s, axis=2)           # (B,C,T)
+        cross = jnp.sum((excl16 < 0) & (Lx[:, :, None, :] > prvL[..., None]),
+                        axis=3, dtype=jnp.int32)
+        ranks = jnp.where(cur16[..., 0] >= 0, within, within + cross)
+        new_carry = jnp.maximum(Lx[:, -1, :], tl32[:, -1, :])
         return new_carry, ranks
 
-    _, ranks = lax.scan(step, last0, (seq_t, val_t, pos_t))
+    _, ranks = lax.scan(step, last0, (seq_t, val_t, base_t))
     ranks = ranks.transpose(1, 0, 2, 3).reshape(B, n_steps * C * tile)
     return ranks[:, :N]
 
