@@ -123,10 +123,12 @@ def group_iter(hist_bf, lens, table_invalid):
 def selector_mtf(selectors, n_selectors):
     """MTF-code the selector stream; returns (B,G) values in 1..6 (0 pad)."""
     B, G = selectors.shape
-    Gp = -(-G // 64) * 64
+    tile = 64   # tiny stream: the XLA path wins (and a second pallas call
+    # site in one program hit axon remote-exec instability; see repo log)
+    Gp = -(-G // tile) * tile
     sel_pad = jnp.pad(selectors, ((0, 0), (0, Gp - G)))
     gvalid = jnp.arange(Gp, dtype=jnp.int32)[None, :] < n_selectors[:, None]
-    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=64)
+    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=tile)
     return jnp.where(gvalid[:, :G], ranks[:, :G] + 1, 0)
 
 

@@ -43,7 +43,9 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
     B, N = seq.shape
     assert N % tile == 0, "pad N to a multiple of the MTF tile"
     assert tile < (1 << 15)
-    if jax.default_backend() == "tpu" and tile >= 512 and N % 512 == 0:
+    import os
+    if (jax.default_backend() == "tpu" and tile >= 512 and N % 512 == 0
+            and not os.environ.get("BZ2TPU_NO_PALLAS")):
         from .mtf_pallas import mtf_ranks_pallas
         return mtf_ranks_pallas(seq, valid)
     n_tiles = N // tile
