@@ -253,7 +253,23 @@ class Engine:
 
     def _encode_batch(self, level, arr, ns, uses, crcs):
         """Run one device batch; returns (words_np, nbits_np) with words
-        fetched through a bucketed device-side slice."""
+        fetched through a bucketed device-side slice.  If a pallas-bearing
+        executable fails at run time (observed intermittently on tunneled
+        single-chip setups), flips the kill-switch and recompiles the
+        pure-XLA path once."""
+        try:
+            return self._encode_batch_inner(level, arr, ns, uses, crcs)
+        except jax.errors.JaxRuntimeError:
+            from .ops import mtf as _mtf
+            if not _mtf.pallas_enabled():
+                raise
+            tracing.vlog(1, "pallas executable failed at runtime; "
+                            "recompiling on the XLA path")
+            _mtf.set_pallas_enabled(False)
+            self._compiled.clear()
+            return self._encode_batch_inner(level, arr, ns, uses, crcs)
+
+    def _encode_batch_inner(self, level, arr, ns, uses, crcs):
         fns = self._fns(level, arr.shape[0])
         if self.mode == "fused":
             words, nbits = fns(jnp.asarray(arr), jnp.asarray(ns),

@@ -198,15 +198,24 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
         def body(state):
             rankD, p, r1, unresolved, k, _ = state
             live = p >= 0
-            q = jnp.where(live, jnp.remainder(p + k, nn), N)
-            r2 = jnp.where(live, jnp.take_along_axis(rankD, q, axis=1), INF)
-            r1s, r2s, ps = lax.sort((r1, r2, p), dimension=1,
-                                    is_stable=True, num_keys=2)
+            # generalized doubling: neighbour ranks at k, 2k, 3k extend the
+            # ordered prefix from k to 4k in one (cheap, compact) pass.
+            neigh = []
+            for m in (1, 2, 3):
+                q = jnp.where(live, jnp.remainder(p + m * k, nn), N)
+                neigh.append(jnp.where(
+                    live, jnp.take_along_axis(rankD, q, axis=1), INF))
+            cols = lax.sort((r1, *neigh, p), dimension=1,
+                            is_stable=True, num_keys=4)
+            ps = cols[-1]
+            r1s = cols[0]
             lives = ps >= 0
             changed_seg = jnp.concatenate(
                 [jnp.ones((B, 1), bool), r1s[:, 1:] != r1s[:, :-1]], axis=1)
-            changed_sub = changed_seg | jnp.concatenate(
-                [jnp.ones((B, 1), bool), r2s[:, 1:] != r2s[:, :-1]], axis=1)
+            changed_sub = changed_seg
+            for c in cols[1:4]:
+                changed_sub = changed_sub | jnp.concatenate(
+                    [jnp.ones((B, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
             seg_start = lax.cummax(jnp.where(changed_seg, jc, 0), axis=1)
             sub_start = lax.cummax(jnp.where(changed_sub, jc, 0), axis=1)
             new_r1 = jnp.where(lives, r1s + (sub_start - seg_start), INF)
@@ -216,7 +225,7 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
             rankD = rankD.at[br, jnp.where(lives, ps, N)].set(
                 jnp.where(lives, new_r1, N))
             unres = jnp.sum(unresolved.astype(jnp.int32), axis=1)
-            return rankD, ps, new_r1, unresolved, k * 2, unres
+            return rankD, ps, new_r1, unresolved, k * 4, unres
 
         # at stage entry every live buffer entry is (still) unresolved
         unres0 = p >= 0

@@ -20,6 +20,21 @@ from jax import lax
 
 _NEG = jnp.int32(-(1 << 30))
 
+_PALLAS_OK = True
+
+
+def pallas_enabled() -> bool:
+    import os
+    return _PALLAS_OK and not os.environ.get("BZ2TPU_NO_PALLAS")
+
+
+def set_pallas_enabled(on: bool) -> None:
+    """Runtime kill-switch: the engine flips this off (and recompiles on the
+    pure-XLA path) if a pallas executable fails at run time (observed
+    intermittently on tunneled single-chip setups)."""
+    global _PALLAS_OK
+    _PALLAS_OK = bool(on)
+
 
 def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
                       step_bytes: int = 128 << 20):
@@ -43,9 +58,8 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
     B, N = seq.shape
     assert N % tile == 0, "pad N to a multiple of the MTF tile"
     assert tile < (1 << 15)
-    import os
-    if (jax.default_backend() == "tpu" and tile >= 512 and N % 512 == 0
-            and not os.environ.get("BZ2TPU_NO_PALLAS")):
+    if (pallas_enabled() and jax.default_backend() == "tpu"
+            and tile >= 512 and N % 512 == 0):
         from .mtf_pallas import mtf_ranks_pallas
         return mtf_ranks_pallas(seq, valid)
     n_tiles = N // tile

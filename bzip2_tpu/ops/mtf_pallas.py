@@ -2,7 +2,7 @@
 
 The XLA formulation in ``mtf.py`` materializes (tile, 256) occurrence
 tables in HBM; this kernel keeps them in VMEM — per grid step it reads a
-(8, 512) row-block of symbols and 8 carry rows, and writes the ranks, so
+(8, 256) row-block of symbols and 8 carry rows, and writes the ranks, so
 HBM traffic is ~12 bytes/symbol instead of ~1 KB/symbol.
 
 Semantics are identical to ``mtf.mtf_ranks_batched`` (see its docstring for
@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = jnp.int32(-(1 << 30))
-PTILE = 512      # within-tile scan length (i16 times fit comfortably)
+PTILE = 256      # within-tile scan length (keeps VMEM pressure low)
 LB = 8           # row-block: tiles processed per grid step
 
 
