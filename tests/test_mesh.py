@@ -1,0 +1,82 @@
+"""Multi-chip block-data-parallel encoding over the virtual 8-device mesh
+(BASELINE configs #3/#4 are validated here at small scale; the driver
+dry-runs the same path via __graft_entry__.dryrun_multichip)."""
+import bz2 as stdlib_bz2
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from bzip2_tpu import rle1 as _rle1
+from bzip2_tpu.bitstream import BitWriter, splice
+from bzip2_tpu import constants as C
+from bzip2_tpu import crc as _crc
+from bzip2_tpu.engine import _words_for
+from bzip2_tpu.parallel.mesh import encode_blocks_sharded, make_mesh
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _pack_stream(level, blocks, words, nbits):
+    w = BitWriter()
+    for v in (C.HDR_B, C.HDR_Z, C.HDR_h, C.HDR_0 + level):
+        w.write(v, 8)
+    parts = [w.getvalue()]
+    for j in range(len(blocks)):
+        nbit = int(nbits[j])
+        payload = words[j, : (nbit + 31) // 32].byteswap().view(np.uint8)
+        parts.append((payload[: (nbit + 7) // 8], nbit))
+    eos = BitWriter()
+    eos.write(C.EOS_MAGIC, 48)
+    eos.write(_crc.combine_block_crcs([b.crc for b in blocks]), 32)
+    parts.append(eos.getvalue())
+    return splice(parts)[0].tobytes()
+
+
+def test_sharded_encode_bit_exact(rng):
+    # 16 blocks over 8 devices (2 per device), full stream == stock bzip2.
+    level = 1
+    data = rng.integers(97, 105, 16 * 95_000, dtype=np.uint8).tobytes()
+    blocks = _rle1.encode_blocks(data, level)
+    assert len(blocks) >= 8
+    N = max(b.data.size for b in blocks)
+    N = -(-N // 512) * 512
+    B = len(blocks)
+    arr = np.zeros((B, N), np.uint8)
+    ns = np.ones(B, np.int32)
+    uses = np.zeros((B, 256), bool)
+    crcs = np.zeros(B, np.uint32)
+    for j, b in enumerate(blocks):
+        arr[j, :b.data.size] = b.data
+        ns[j] = b.data.size
+        uses[j] = b.in_use
+        crcs[j] = b.crc
+    mesh = make_mesh(jax.devices())
+    words, nbits = encode_blocks_sharded(mesh, arr, ns, uses, crcs,
+                                         _words_for(N))
+    stream = _pack_stream(level, blocks, words, nbits)
+    assert stream == stdlib_bz2.compress(data, level)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_combined_crc_fold_is_associative(rng):
+    # the stream CRC fold (rotl1 + xor) composed over shards == serial fold
+    crcs = [int(x) for x in rng.integers(0, 2**32, 13, dtype=np.uint64)]
+    serial = _crc.combine_block_crcs(crcs)
+    # shard-wise: fold each shard, then compose with the linear-map trick
+    def fold(acc, cs):
+        for c in cs:
+            acc = (((acc << 1) | (acc >> 31)) & 0xFFFFFFFF) ^ c
+        return acc
+    # rotl is linear over GF(2): combined(a ++ b) = rotl^len(b)(fold(a)) ^ fold(b)
+    a, b = crcs[:7], crcs[7:]
+    fa, fb = fold(0, a), fold(0, b)
+    rot = lambda x, k: ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+    assert serial == rot(fa, len(b) % 32) ^ fb
