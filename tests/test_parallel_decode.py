@@ -56,3 +56,39 @@ def test_corrupt_member_raises(members):
     bad[len(comp) // 2] ^= 0xFF
     with pytest.raises(api.BZ2Error):
         pdec.decompress_parallel(bytes(bad))
+
+
+# ---------------- block-grain parallel decode (single stream) ----------------
+
+def test_blocks_parallel_single_stream():
+    rng = np.random.default_rng(7)
+    raw = bytes(rng.integers(97, 107, 1_200_000, dtype=np.uint8))
+    comp = bz2.compress(raw, 1)   # ~13 blocks at level 1
+    assert pdec.decompress_blocks_parallel(comp) == raw
+    assert pdec.decompress_blocks_parallel(comp, max_workers=3) == raw
+
+
+def test_blocks_parallel_levels_and_small():
+    rng = np.random.default_rng(8)
+    for level, n in ((9, 300_000), (2, 250_000)):
+        raw = bytes(rng.integers(32, 127, n, dtype=np.uint8))
+        comp = bz2.compress(raw, level)
+        assert pdec.decompress_blocks_parallel(comp) == raw
+
+
+def test_blocks_parallel_corrupt():
+    rng = np.random.default_rng(9)
+    raw = bytes(rng.integers(97, 107, 500_000, dtype=np.uint8))
+    comp = bytearray(bz2.compress(raw, 1))
+    comp[len(comp) // 2] ^= 0x10
+    with pytest.raises(api.BZ2Error):
+        pdec.decompress_blocks_parallel(bytes(comp))
+
+
+def test_bit_magic_scan_finds_blocks():
+    rng = np.random.default_rng(10)
+    raw = bytes(rng.integers(97, 107, 700_000, dtype=np.uint8))
+    comp = bz2.compress(raw, 1)
+    from bzip2_tpu.constants import BLOCK_MAGIC
+    offs = pdec.find_bit_magics(comp, BLOCK_MAGIC)
+    assert len(offs) >= 7 and offs[0] == 32
