@@ -68,7 +68,8 @@ def _scatter_rank(order, start, singleton, valid, n, N, mirror=True):
     B = order.shape[0]
     br = jnp.arange(B, dtype=jnp.int32)[:, None]
     v = (start << 1) | singleton.astype(jnp.int32)
-    packed = jnp.zeros((B, N), jnp.int32).at[br, order].set(v)
+    # inverse-permutation apply via a 1-key sort (cheaper than scatter here)
+    _, packed = lax.sort((order, v), dimension=1, is_stable=False, num_keys=1)
     rank = packed >> 1
     tied = jnp.logical_not(packed & 1) & valid
     unres = jnp.sum(tied.astype(jnp.int32), axis=1)
@@ -108,14 +109,18 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
     ext_j = jnp.arange(_INIT_BYTES, dtype=jnp.int32)[None, :]
     bx = bx.at[br, n[:, None] + ext_j].set(wrap)
 
-    # --- 16-byte initial keys from static rolls (no gathers).
-    planes = [bx]
-    for _ in range(_INIT_BYTES - 1):
-        planes.append(jnp.roll(planes[-1], -1, axis=1))
-    planes = [p[:, :N] for p in planes]
+    # --- 16-byte initial keys from static rolls (no gathers).  Only the
+    # first packed word needs byte planes; the other three are 4/8/12-
+    # position rolls of it over the extended width (ext covers the wrap).
+    p0 = bx
+    p1 = jnp.roll(bx, -1, axis=1)
+    p2 = jnp.roll(bx, -2, axis=1)
+    p3 = jnp.roll(bx, -3, axis=1)
+    k1x = _pack4(p0, p1, p2, p3)                 # (B, N+16)
     keys = [
-        jnp.where(valid, _pack4(*planes[o:o + 4]), INF)
-        for o in range(0, _INIT_BYTES, 4)
+        jnp.where(valid, kx[:, :N], INF)
+        for kx in (k1x, jnp.roll(k1x, -4, axis=1), jnp.roll(k1x, -8, axis=1),
+                   jnp.roll(k1x, -12, axis=1))
     ]
     sorted_ops = lax.sort(tuple(keys) + (jnp.broadcast_to(idx, (B, N)),),
                           dimension=1, is_stable=True, num_keys=len(keys))
