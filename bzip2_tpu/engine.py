@@ -107,15 +107,18 @@ def _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf, n_in_use,
     tab_l = tab_l.at[:, :, 2::2].set(jnp.where(active, 1, 0))
     add(tab_v.reshape(B, 6 * (1 + 2 * A)), tab_l.reshape(B, 6 * (1 + 2 * A)))
 
-    # payload: per-symbol code from its group's table
+    # payload: per-symbol code from its group's table.  (code, len) are
+    # packed into one word so the (B, M)-sized table gather happens once
+    # (codes <= 17 bits, lens <= 5 bits).
     g_of = jnp.arange(M, dtype=i32)[None, :] // C.G_SIZE
     g_of = jnp.minimum(g_of, selectors.shape[1] - 1)
     sel_per_sym = jnp.take_along_axis(selectors, g_of, axis=1)          # (B,M)
     m_valid = jnp.arange(M, dtype=i32)[None, :] < n_mtf[:, None]
     flat_ts = sel_per_sym * A + mtfv
-    pay_code = jnp.take_along_axis(codes.reshape(B, 6 * A), flat_ts, axis=1)
-    pay_len = jnp.take_along_axis(lens.reshape(B, 6 * A), flat_ts, axis=1)
-    add(jnp.where(m_valid, pay_code, 0), jnp.where(m_valid, pay_len, 0))
+    packed_tab = ((codes.astype(i32) << 5) | lens).reshape(B, 6 * A)
+    pay = jnp.take_along_axis(packed_tab, flat_ts, axis=1)
+    add(jnp.where(m_valid, (pay >> 5).astype(u32), 0),
+        jnp.where(m_valid, pay & 31, 0))
 
     vals = jnp.concatenate(fields_v, axis=1)
     flens = jnp.concatenate(fields_l, axis=1)

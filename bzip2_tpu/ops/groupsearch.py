@@ -90,7 +90,12 @@ def build_group_hist(mtfv: jnp.ndarray, n_mtf: jnp.ndarray):
     """(B, M) symbols -> (B, G, A) per-50-group histograms (int32).
 
     One-hot + segment-sum (VPU-friendly) instead of scatter-add, which is
-    slow on TPU.  Counts <= 50 are exact in bfloat16-in/f32-accumulate."""
+    slow on TPU.  Counts <= 50 are exact in bfloat16-in/f32-accumulate.
+    On TPU the one-hot stays in VMEM via the pallas kernel."""
+    from .mtf import pallas_enabled
+    if pallas_enabled() and jax.default_backend() == "tpu":
+        from .mtf_pallas import group_hist_pallas
+        return group_hist_pallas(mtfv, n_mtf, g_size=G_SIZE)
     B, M = mtfv.shape
     G = -(-M // G_SIZE)
     pad = G * G_SIZE - M

@@ -68,6 +68,48 @@ def _rank_kernel(seq_ref, lx_ref, out_ref):
     out_ref[...] = jnp.where(cur >= 0, within, within + cross)
 
 
+_GLB = 64        # group rows per program for the histogram kernel
+_GW = 64         # padded group width (G_SIZE=50 -> 64)
+_GA = 384        # padded alphabet (258 -> 384, lane-aligned)
+
+
+def _group_hist_kernel(sym_ref, out_ref):
+    """Per-50-symbol-group histograms: out[g, s] = #{t: sym[g, t] == s}."""
+    s = sym_ref[...]                                     # (GLB, GW)
+    ids = lax.broadcasted_iota(jnp.int32, (_GLB, _GW, _GA), 2)
+    onehot = (s[:, :, None] == ids).astype(jnp.int32)
+    out_ref[...] = jnp.sum(onehot, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("g_size", "interpret"))
+def group_hist_pallas(mtfv: jnp.ndarray, n_mtf: jnp.ndarray, g_size: int = 50,
+                      interpret: bool = False):
+    """(B, M) symbols -> (B, G, 258) per-g_size-group histograms (int32).
+    Pallas version of groupsearch.build_group_hist (one-hot stays in VMEM)."""
+    B, M = mtfv.shape
+    assert g_size <= _GW
+    G = -(-M // g_size)
+    m_valid = jnp.arange(M, dtype=jnp.int32)[None, :] < n_mtf[:, None]
+    symm = jnp.where(m_valid, mtfv, 300)
+    symm = jnp.pad(symm, ((0, 0), (0, G * g_size - M)), constant_values=300)
+    rows = B * G
+    rows_p = -(-rows // _GLB) * _GLB
+    symr = jnp.pad(symm.reshape(rows, g_size),
+                   ((0, rows_p - rows), (0, _GW - g_size)),
+                   constant_values=300)
+    hist = pl.pallas_call(
+        _group_hist_kernel,
+        grid=(rows_p // _GLB,),
+        in_specs=[pl.BlockSpec((_GLB, _GW), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_GLB, _GA), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, _GA), jnp.int32),
+        interpret=interpret,
+    )(symr)
+    return hist[:rows, :258].reshape(B, G, 258)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mtf_ranks_pallas(seq: jnp.ndarray, valid: jnp.ndarray,
                      interpret: bool = False):

@@ -25,3 +25,14 @@ def test_pallas_matches_xla(rng):
                                           interpret=True))
         for b in range(B):
             assert np.array_equal(got[b, :ns[b]], exp[b, :ns[b]]), trial
+
+
+def test_group_hist_pallas_matches_xla(rng):
+    from bzip2_tpu.ops.mtf_pallas import group_hist_pallas
+    from bzip2_tpu.ops.groupsearch import build_group_hist
+    B, M = 2, 1003
+    mtfv = jnp.asarray(rng.integers(0, 258, (B, M)).astype(np.int32))
+    n_mtf = jnp.asarray(np.array([M, 517], np.int32))
+    exp = np.asarray(build_group_hist(mtfv, n_mtf))
+    got = np.asarray(group_hist_pallas(mtfv, n_mtf, interpret=True))
+    assert np.array_equal(got, exp)
