@@ -63,6 +63,10 @@ class Compressor:
         self._crcs: list[int] = []
         self._started = False
         self._finished = False
+        #: consumed / produced byte counters (reference bz_stream total_in/
+        #: total_out, 64-bit; Python ints don't wrap)
+        self.total_in = 0
+        self.total_out = 0
         # enough raw bytes to guarantee at least one closed block (RLE1
         # expands at most 5/4) plus slack
         self._watermark = (C.nblock_max(level) * 5) // 4 + 1024
@@ -79,7 +83,9 @@ class Compressor:
     def compress(self, data) -> bytes:
         if self._finished:
             raise ValueError("compressor has been flushed")
-        self._buf += bytes(data)
+        data = bytes(data)
+        self.total_in += len(data)
+        self._buf += data
         out = b""
         if not self._started:
             out += self._header()
@@ -98,6 +104,7 @@ class Compressor:
             self._crcs.append(blk.crc)
             out += self._bits.push(bits, nbits)
         del self._buf[:hold.raw_span[0]]
+        self.total_out += len(out)
         return out
 
     def flush(self) -> bytes:
@@ -121,6 +128,7 @@ class Compressor:
         ebuf, ebits = eos.getvalue()
         out += self._bits.push(ebuf, ebits)
         out += self._bits.final()
+        self.total_out += len(out)
         return out
 
 
@@ -131,6 +139,8 @@ class Decompressor:
     def __init__(self, backend: str | None = None):
         self.eof = False
         self.unused_data = b""
+        self.total_in = 0
+        self.total_out = 0
         self._buf = bytearray()
         self._bitpos = 0
         self._level = 0
@@ -146,7 +156,9 @@ class Decompressor:
         if self.eof:
             self.unused_data += bytes(data)
             return b""
-        self._buf += bytes(data)
+        data = bytes(data)
+        self.total_in += len(data)
+        self._buf += data
         if self._use_native:
             from . import native
             out, nbit, level, comb, status, rc = native.decode_some(
@@ -156,9 +168,11 @@ class Decompressor:
             if rc != native.BZT_OK:
                 raise DataError(f"corrupt stream (rc={rc})")
             self._bitpos, self._level, self._combined = nbit, level, comb
+            self.total_out += len(out)
             if status == 1:
                 self.eof = True
                 self.unused_data = bytes(self._buf[(nbit + 7) // 8:])
+                self.total_in -= len(self.unused_data)
                 self._buf.clear()
             else:
                 # drop consumed whole bytes to bound memory
@@ -167,7 +181,12 @@ class Decompressor:
                     del self._buf[:drop]
                     self._bitpos -= drop * 8
             return out
-        return self._decompress_oracle()
+        was_eof = self.eof
+        out = self._decompress_oracle()
+        self.total_out += len(out)
+        if self.eof and not was_eof:
+            self.total_in -= len(self.unused_data)
+        return out
 
     def _decompress_oracle(self) -> bytes:
         """Pure-Python incremental path (slow; used without the native lib)."""

@@ -234,3 +234,16 @@ def test_recover_with_corrupt_middle_block(tmp_path, rng):
     assert n >= 1  # first and last blocks salvage
     out = stdlib_bz2.decompress((tmp_path / "rec00001mid.bz2").read_bytes())
     assert data.startswith(out) and len(out) > 0
+
+
+def test_stream_counters():
+    from bzip2_tpu.stream import Compressor, Decompressor
+    data = b"counter test " * 40_000
+    c = Compressor(1)
+    out = c.compress(data) + c.flush()
+    assert c.total_in == len(data) and c.total_out == len(out)
+    d = Decompressor()
+    raw = d.decompress(out + b"JUNK")
+    assert raw == data and d.eof
+    assert d.total_in == len(out) and d.total_out == len(data)
+    assert d.unused_data == b"JUNK"
