@@ -110,10 +110,12 @@ def main():
     log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
         f"(ratio {len(data) / len(comp):.2f}:1)")
 
-    t0 = time.time()
-    out, _, rc = native.decompress(comp)
-    t_dec = time.time() - t0
-    assert rc == 0 and out == data, "round-trip mismatch!"
+    t_dec = float("inf")
+    for _ in range(2):   # best-of-2: host timings jitter on this VM
+        t0 = time.time()
+        out, _, rc = native.decompress(comp)
+        t_dec = min(t_dec, time.time() - t0)
+        assert rc == 0 and out == data, "round-trip mismatch!"
     log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s")
 
     # correctness cross-check vs stock bzip2
