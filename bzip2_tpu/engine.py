@@ -144,14 +144,15 @@ def encode_batch_device(blocks, n, in_use, crc, n_words: int):
 MTF_TILE = 2048
 
 
-def encode_pre(blocks, n, in_use):
+def encode_pre(blocks, n, in_use, use_pallas: bool = True):
     from .ops.groupsearch import (build_group_hist, initial_tables_batched,
                                   n_groups_batched)
 
     last, orig_ptr, _ = bwt_batched(blocks, n)
-    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use, tile=MTF_TILE)
+    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use, tile=MTF_TILE,
+                                             use_pallas=use_pallas)
     n_groups = n_groups_batched(n_mtf)
-    hist = build_group_hist(mtfv, n_mtf)
+    hist = build_group_hist(mtfv, n_mtf, use_pallas=use_pallas)
     freq = jnp.sum(hist, axis=1)
     lens0 = initial_tables_batched(freq, n_mtf, n_in_use + 2, n_groups)
     hist_bf = hist.astype(jnp.bfloat16)
@@ -247,8 +248,14 @@ class Engine:
                 self._compiled[key] = jax.jit(
                     functools.partial(encode_batch_device, n_words=W))
             else:
+                # only the primary batch bucket uses the pallas kernels: a
+                # second pallas-bearing executable in one process trips the
+                # tunneled runtime (observed INVALID_ARGUMENT on subsequent
+                # ops), so remainder buckets compile the pure-XLA path.
+                primary = bsz == self._batch_size_for(level)
                 self._compiled[key] = (
-                    jax.jit(encode_pre),
+                    jax.jit(functools.partial(encode_pre,
+                                              use_pallas=primary)),
                     jax.jit(group_iter_jit),
                     jax.jit(functools.partial(encode_post, n_words=W)),
                 )
@@ -310,7 +317,9 @@ class Engine:
         def prep(i):
             chunk = blocks[i:i + bsz]
             nb = len(chunk)
-            pad_to = bsz if len(blocks) > bsz else nb
+            # remainder batches run in a right-sized power-of-2 bucket so a
+            # 1-block tail doesn't pay a full-batch executable
+            pad_to = bsz if nb == bsz else min(bsz, 1 << (nb - 1).bit_length())
             arr = np.zeros((pad_to, N), np.uint8)
             ns = np.ones(pad_to, np.int32)
             uses = np.zeros((pad_to, 256), bool)

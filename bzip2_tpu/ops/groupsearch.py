@@ -86,14 +86,15 @@ def initial_tables_batched(freq: jnp.ndarray, n_mtf: jnp.ndarray,
     return lens
 
 
-def build_group_hist(mtfv: jnp.ndarray, n_mtf: jnp.ndarray):
+def build_group_hist(mtfv: jnp.ndarray, n_mtf: jnp.ndarray,
+                     use_pallas: bool = True):
     """(B, M) symbols -> (B, G, A) per-50-group histograms (int32).
 
     One-hot + segment-sum (VPU-friendly) instead of scatter-add, which is
     slow on TPU.  Counts <= 50 are exact in bfloat16-in/f32-accumulate.
     On TPU the one-hot stays in VMEM via the pallas kernel."""
     from .mtf import pallas_enabled
-    if pallas_enabled() and jax.default_backend() == "tpu":
+    if use_pallas and pallas_enabled() and jax.default_backend() == "tpu":
         from .mtf_pallas import group_hist_pallas
         return group_hist_pallas(mtfv, n_mtf, g_size=G_SIZE)
     B, M = mtfv.shape

@@ -37,7 +37,7 @@ def set_pallas_enabled(on: bool) -> None:
 
 
 def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
-                      step_bytes: int = 128 << 20):
+                      step_bytes: int = 128 << 20, use_pallas: bool = True):
     """seq: int32 (B, N) remapped symbols (0..255); valid: bool (B, N).
     Returns int32 (B, N) MTF list positions (pad positions garbage).
 
@@ -58,7 +58,7 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
     B, N = seq.shape
     assert N % tile == 0, "pad N to a multiple of the MTF tile"
     assert tile < (1 << 15)
-    if (pallas_enabled() and jax.default_backend() == "tpu"
+    if (use_pallas and pallas_enabled() and jax.default_backend() == "tpu"
             and tile >= 512 and N % 512 == 0):
         from .mtf_pallas import mtf_ranks_pallas
         return mtf_ranks_pallas(seq, valid)
@@ -113,7 +113,7 @@ def mtf_ranks_batched(seq: jnp.ndarray, valid: jnp.ndarray, tile: int = 512,
 
 
 def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
-                     tile: int = 512):
+                     tile: int = 512, use_pallas: bool = True):
     """last_col: uint8 (B, N) BWT output; n: int32 (B,); in_use: bool (B, 256).
 
     Returns (mtfv int32 (B, N+1), n_mtf int32 (B,), n_in_use int32 (B,)).
@@ -141,7 +141,7 @@ def mtf_rle2_batched(last_col: jnp.ndarray, n: jnp.ndarray, in_use: jnp.ndarray,
     seq = jnp.take_along_axis(remap, last_col.astype(jnp.int32), axis=1)
     seq = jnp.where(valid, seq, 0)
 
-    ranks = mtf_ranks_batched(seq, valid, tile=tile)
+    ranks = mtf_ranks_batched(seq, valid, tile=tile, use_pallas=use_pallas)
     ranks = jnp.where(valid, ranks, 0)
 
     # --- RLE2 stream layout ---

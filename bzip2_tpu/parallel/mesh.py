@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..engine import encode_batch_device
 
@@ -41,15 +45,15 @@ def build_sharded_encoder(mesh: Mesh, n_words: int, axis: str = "blocks"):
         nbits_all = jax.lax.all_gather(nbits, axis, tiled=True)
         return words, nbits_all
 
-    # check_rep=False: several ops initialize loop carries from constants
-    # (e.g. the MTF last-occurrence table), which the varying-manual-axes
-    # analysis would reject; per-shard semantics are unaffected.
-    sharded = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P()),
-        check_rep=False,
-    )
+    # replication checking off: several ops initialize loop carries from
+    # constants (e.g. the MTF last-occurrence table), which the varying-
+    # manual-axes analysis would reject; per-shard semantics are unaffected.
+    kw = dict(mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P(axis)),
+              out_specs=(P(axis), P()))
+    try:
+        sharded = shard_map(local_step, check_vma=False, **kw)
+    except TypeError:  # older shard_map API
+        sharded = shard_map(local_step, check_rep=False, **kw)
     return jax.jit(sharded)
 
 
