@@ -125,13 +125,15 @@ def _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf, n_in_use,
     return vals, flens
 
 
-def encode_batch_device(blocks, n, in_use, crc, n_words: int):
+def encode_batch_device(blocks, n, in_use, crc, n_words: int,
+                        use_pallas: bool = True):
     """The full jitted encoder: (B,N) uint8 padded RLE1 blocks -> packed
     per-block bitstreams (B, n_words) uint32 + bit counts (B,)."""
     last, orig_ptr, _ = bwt_batched(blocks, n)
-    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use)
+    mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use,
+                                             use_pallas=use_pallas)
     n_groups, n_selectors, selectors, sel_mtf, lens, codes = group_search_batched(
-        mtfv, n_mtf, n_in_use)
+        mtfv, n_mtf, n_in_use, use_pallas=use_pallas)
     vals, flens = _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf,
                                n_in_use, n_groups, n_selectors, sel_mtf, lens,
                                codes, selectors)
@@ -246,7 +248,9 @@ class Engine:
             W = _words_for(N)
             if self.mode == "fused":
                 self._compiled[key] = jax.jit(
-                    functools.partial(encode_batch_device, n_words=W))
+                    functools.partial(encode_batch_device, n_words=W,
+                                      use_pallas=(
+                                          bsz == self._batch_size_for(level))))
             else:
                 # only the primary batch bucket uses the pallas kernels: a
                 # second pallas-bearing executable in one process trips the

@@ -126,19 +126,23 @@ def group_iter(hist_bf, lens, table_invalid):
     return selectors, freq6
 
 
-def selector_mtf(selectors, n_selectors):
-    """MTF-code the selector stream; returns (B,G) values in 1..6 (0 pad)."""
+def selector_mtf(selectors, n_selectors, use_pallas: bool = False):
+    """MTF-code the selector stream; returns (B,G) values in 1..6 (0 pad).
+
+    use_pallas only when the caller already lives in a pallas-bearing
+    executable (the fused path): a *second* pallas executable per process
+    trips the tunneled runtime, and for this tiny stream XLA is fine."""
     B, G = selectors.shape
-    tile = 64   # tiny stream: the XLA path wins (and a second pallas call
-    # site in one program hit axon remote-exec instability; see repo log)
+    tile = 512 if use_pallas else 64
     Gp = -(-G // tile) * tile
     sel_pad = jnp.pad(selectors, ((0, 0), (0, Gp - G)))
     gvalid = jnp.arange(Gp, dtype=jnp.int32)[None, :] < n_selectors[:, None]
-    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=tile)
+    ranks = mtf_ranks_batched(sel_pad, gvalid, tile=tile,
+                              use_pallas=use_pallas)
     return jnp.where(gvalid[:, :G], ranks[:, :G] + 1, 0)
 
 
-def group_search_batched(mtfv, n_mtf, n_in_use):
+def group_search_batched(mtfv, n_mtf, n_in_use, use_pallas: bool = True):
     """Returns (n_groups (B,), n_selectors (B,), selectors (B, G),
     sel_mtf (B, G) MTF-coded selector values (1..6), lens (B,6,A),
     codes (B,6,A))."""
@@ -147,7 +151,7 @@ def group_search_batched(mtfv, n_mtf, n_in_use):
     n_groups = n_groups_batched(n_mtf)
     n_selectors = -(-n_mtf // G_SIZE)
 
-    hist = build_group_hist(mtfv, n_mtf)                  # (B, G, A)
+    hist = build_group_hist(mtfv, n_mtf, use_pallas=use_pallas)  # (B, G, A)
     freq = jnp.sum(hist, axis=1)                          # (B, A)
     lens = initial_tables_batched(freq, n_mtf, alpha, n_groups)
     hist_bf = hist.astype(jnp.bfloat16)
@@ -165,5 +169,5 @@ def group_search_batched(mtfv, n_mtf, n_in_use):
     codes = assign_codes_lanes(lens.reshape(B * 6, A),
                                jnp.broadcast_to(alpha[:, None], (B, 6)).reshape(B * 6)
                                ).reshape(B, 6, A)
-    sel_mtf = selector_mtf(selectors, n_selectors)
+    sel_mtf = selector_mtf(selectors, n_selectors, use_pallas=use_pallas)
     return n_groups, n_selectors, selectors, sel_mtf, lens, codes
