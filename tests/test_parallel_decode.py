@@ -92,3 +92,42 @@ def test_bit_magic_scan_finds_blocks():
     from bzip2_tpu.constants import BLOCK_MAGIC
     offs = pdec.find_bit_magics(comp, BLOCK_MAGIC)
     assert len(offs) >= 7 and offs[0] == 32
+
+
+def test_blocks_parallel_fuzz_bitflips():
+    """Corruption anywhere must yield clean errors or correct healing,
+    never a crash/hang (unzcrash contract extended to the parallel path)."""
+    rng = np.random.default_rng(11)
+    raw = bytes(rng.integers(97, 107, 400_000, dtype=np.uint8))
+    comp = bz2.compress(raw, 1)
+    for _ in range(40):
+        bad = bytearray(comp)
+        pos = int(rng.integers(0, len(bad)))
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = pdec.decompress_blocks_parallel(bytes(bad))
+            # undetected single-bit flips are impossible past both CRC
+            # layers unless the flip landed in pad bits after EOS
+            assert out == raw
+        except api.BZ2Error:
+            pass
+
+
+def test_members_parallel_fuzz_bitflips():
+    rng = np.random.default_rng(12)
+    raws = [bytes(rng.integers(97, 107, 30_000, dtype=np.uint8))
+            for _ in range(6)]
+    comp = b"".join(bz2.compress(r, 1) for r in raws)
+    joined = b"".join(raws)
+    for _ in range(30):
+        bad = bytearray(comp)
+        pos = int(rng.integers(0, len(bad)))
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = pdec.decompress_parallel(bytes(bad))
+            # a flip in a later member's header legally truncates there
+            # (trailing-garbage tolerance, bzip2.c:531-542)
+            assert out == joined or (joined.startswith(out)
+                                     and len(out) % 30_000 == 0)
+        except api.BZ2Error:
+            pass
