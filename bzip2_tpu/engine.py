@@ -210,16 +210,23 @@ class Engine:
     AUTO_BATCH_BYTES = 8 << 20
 
     def __init__(self, batch_size: int | None = None, mode: str | None = None,
-                 pipeline: int = 2):
+                 pipeline: int = 2, host_workers: int | None = None):
         self.batch_size = batch_size
         self.pipeline = max(1, pipeline)
+        native_ok = False
+        try:
+            from . import native
+            native_ok = native.available()
+        except Exception:
+            pass
         if mode is None:
-            try:
-                from . import native
-                mode = "hybrid" if native.available() else "fused"
-            except Exception:
-                mode = "fused"
+            mode = "hybrid" if native_ok else "fused"
         self.mode = mode
+        # host workers co-encode blocks on the CPU (native C++ encoder)
+        # while the device crunches batches — work-stealing from the tail.
+        if host_workers is None:
+            host_workers = 1 if native_ok else 0
+        self.host_workers = host_workers if native_ok else 0
         self._compiled = {}
         self._slicers = {}
 
@@ -311,19 +318,54 @@ class Engine:
     def encode_payloads(self, blocks: list[_rle1.RLE1Block], level: int):
         """Encode RLE1 blocks into per-block (bytes, nbits) payloads.
 
-        Batches run on ``pipeline`` worker threads so one batch's device
-        compute overlaps another's host work and tunnel transfers; results
-        are emitted in block order.
+        Work-stealing hybrid scheduler: ``pipeline`` device workers claim
+        batches from the front of the block list while ``host_workers``
+        CPU workers (native C++ encoder, GIL released) steal single blocks
+        from the tail — both compute resources run concurrently and meet in
+        the middle.  Results are emitted in block order.
         """
+        import threading
+
+        L = len(blocks)
+        if L == 0:
+            return []
         N = _block_pad_size(level)
         bsz = self._batch_size_for(level)
 
-        def prep(i):
-            chunk = blocks[i:i + bsz]
-            nb = len(chunk)
+        results: list = [None] * L
+        lock = threading.Lock()
+        state = {"lo": 0, "hi": L}
+
+        def claim_front():
+            with lock:
+                take = min(bsz, state["hi"] - state["lo"])
+                s = state["lo"]
+                state["lo"] += take
+                return s, take
+
+        def claim_back():
+            with lock:
+                if state["hi"] <= state["lo"]:
+                    return -1
+                state["hi"] -= 1
+                return state["hi"]
+
+        def record_block(k, nbit):
+            blk = blocks[k]
+            tracing.vlog(2, "    block %d: crc 0x%08x, in %d, out %d bits"
+                         " (%.3f bits/byte)", k, blk.crc,
+                         blk.raw_span[1] - blk.raw_span[0], nbit,
+                         nbit / max(blk.raw_span[1] - blk.raw_span[0], 1))
+            tracing.record("block", index=k, crc=blk.crc,
+                           raw_bytes=blk.raw_span[1] - blk.raw_span[0],
+                           rle1_bytes=int(blk.data.size), out_bits=nbit)
+
+        def run_batch(s, take):
+            chunk = blocks[s:s + take]
             # remainder batches run in a right-sized power-of-2 bucket so a
-            # 1-block tail doesn't pay a full-batch executable
-            pad_to = bsz if nb == bsz else min(bsz, 1 << (nb - 1).bit_length())
+            # small tail doesn't pay a full-batch executable
+            pad_to = (bsz if take == bsz
+                      else min(bsz, 1 << (take - 1).bit_length()))
             arr = np.zeros((pad_to, N), np.uint8)
             ns = np.ones(pad_to, np.int32)
             uses = np.zeros((pad_to, 256), bool)
@@ -334,42 +376,75 @@ class Engine:
                 ns[j] = blk.data.size
                 uses[j] = blk.in_use
                 crcs[j] = blk.crc
-            return nb, arr, ns, uses, crcs
-
-        def run(i):
-            nb, arr, ns, uses, crcs = prep(i)
-            with tracing.span(f"batch[{i}:{i + nb}]"):
+            with tracing.span(f"batch[{s}:{s + take}]"):
                 words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
-            res = []
-            for j in range(nb):
+            for j in range(take):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]
                 by = payload.byteswap().view(np.uint8)  # MSB-first bytes
-                res.append((by[: (nbit + 7) // 8], nbit))
-                blk = blocks[i + j]
-                tracing.vlog(2, "    block %d: crc 0x%08x, in %d, out %d bits"
-                             " (%.3f bits/byte)", i + j, blk.crc,
-                             blk.raw_span[1] - blk.raw_span[0], nbit,
-                             nbit / max(blk.raw_span[1] - blk.raw_span[0], 1))
-                tracing.record("block", index=i + j, crc=blk.crc,
-                               raw_bytes=blk.raw_span[1] - blk.raw_span[0],
-                               rle1_bytes=int(blk.data.size), out_bits=nbit)
-            return res
+                results[s + j] = (by[: (nbit + 7) // 8], nbit)
+                record_block(s + j, nbit)
 
-        starts = list(range(0, len(blocks), bsz))
-        if self.pipeline == 1 or len(starts) <= 1:
-            results = [run(i) for i in starts]
-        else:
-            # warm the compile cache single-threaded first
-            first = run(starts[0])
-            import concurrent.futures as cf
-            with cf.ThreadPoolExecutor(self.pipeline) as ex:
-                rest = list(ex.map(run, starts[1:]))
-            results = [first] + rest
-        out = []
-        for r in results:
-            out.extend(r)
-        return out
+        errors: list = []
+
+        def tpu_worker():
+            try:
+                while not errors:
+                    s, take = claim_front()
+                    if take == 0:
+                        return
+                    run_batch(s, take)
+            except BaseException as e:  # noqa: BLE001 — re-raised after join
+                errors.append(e)
+
+        def host_worker():
+            from . import native
+            try:
+                while not errors:
+                    k = claim_back()
+                    if k < 0:
+                        return
+                    blk = blocks[k]
+                    payload, nbits = native.encode_block(blk.data,
+                                                         blk.in_use, blk.crc)
+                    results[k] = (np.frombuffer(payload, np.uint8), nbits)
+                    record_block(k, nbits)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        host_threads = []
+        if self.host_workers:
+            try:
+                from . import native
+                if native.available():
+                    host_threads = [threading.Thread(target=host_worker)
+                                    for _ in range(self.host_workers)]
+                    for t in host_threads:
+                        t.start()
+            except Exception:
+                host_threads = []
+
+        # warm the compile cache single-threaded, then fan out
+        try:
+            s, take = claim_front()
+            if take:
+                run_batch(s, take)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        if not errors:
+            tpu_threads = [threading.Thread(target=tpu_worker)
+                           for _ in range(max(0, self.pipeline - 1))]
+            for t in tpu_threads:
+                t.start()
+            tpu_worker()
+            for t in tpu_threads:
+                t.join()
+        for t in host_threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        assert all(r is not None for r in results)
+        return results
 
     def compress(self, data, level: int = 9) -> bytes:
         blocks = _rle1.encode_blocks(data, level)

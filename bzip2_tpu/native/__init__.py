@@ -48,6 +48,10 @@ def _load():
     lib.bz2tpu_rle1_split.argtypes = [
         ct.c_void_p, ct.c_int64, ct.c_int32, ct.c_void_p, ct.c_void_p,
         ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64]
+    lib.bz2tpu_encode_block.restype = ct.c_int64
+    lib.bz2tpu_encode_block.argtypes = [
+        ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_uint32, ct.c_void_p,
+        ct.c_int64]
     from ..rand_table import RNUMS
     r = np.ascontiguousarray(RNUMS, dtype=np.int32)
     lib.bz2tpu_set_rnums(r.ctypes.data_as(ct.c_void_p))
@@ -98,6 +102,28 @@ def rle1_split(data, nmax: int):
     nb = int(nb)
     return (out, block_off[:nb], block_len[:nb], block_crc[:nb],
             in_use[:nb].astype(bool), raw_end[:nb])
+
+
+def encode_block(block, in_use, crc: int):
+    """Encode one RLE1 block (bytes + 256-bool used table + raw CRC) into
+    its bit payload.  Returns (payload bytes, nbits) or None if the native
+    runtime is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(
+        np.frombuffer(block, np.uint8) if not isinstance(block, np.ndarray)
+        else block)
+    use = np.ascontiguousarray(np.asarray(in_use), dtype=np.uint8)
+    out = np.empty(3 * buf.size + (1 << 16), np.uint8)
+    bits = lib.bz2tpu_encode_block(
+        buf.ctypes.data_as(ct.c_void_p), np.int32(buf.size),
+        use.ctypes.data_as(ct.c_void_p), np.uint32(crc & 0xFFFFFFFF),
+        out.ctypes.data_as(ct.c_void_p), out.size)
+    if bits < 0:
+        raise RuntimeError(f"native encode failed (rc={bits})")
+    nbits = int(bits)
+    return bytes(out[: (nbits + 7) // 8]), nbits
 
 
 def make_code_lengths_batch(freqs: np.ndarray, alphas: np.ndarray,

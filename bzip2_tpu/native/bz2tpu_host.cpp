@@ -10,6 +10,10 @@
 //     parse, canonical Huffman w/ fast first-bits table, MTF/RLE2, inverse
 //     BWT, RLE1, both CRC layers, multi-stream + trailing garbage).
 //   * bz2tpu_crc32              — CRC-32/BZIP2 (slice-by-8).
+//   * bz2tpu_rle1_split         — RLE1 pre-pass + block split.
+//   * bz2tpu_encode_block       — complete native block encoder (SA-IS
+//     rotation sort, MTF/RLE2, greedy 6-table search, exact Huffman, bit
+//     packing) — the host worker / no-JAX fast path.
 //
 // Build: g++ -O3 -shared -fPIC (see build.py).  ABI: plain C, ctypes.
 
@@ -17,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <new>
+#include <vector>
 
 extern "C" {
 
@@ -714,6 +719,336 @@ i64 bz2tpu_rle1_split(const u8* data, i64 len, i32 nmax, u8* out,
     n_blocks++;
   }
   return n_blocks;
+}
+
+// ----------------------------------------------------------------- SA-IS --
+// Suffix array by induced sorting (the published Nong/Zhang/Chan SA-IS
+// algorithm, implemented from its description).  s: values in [1, K) with
+// s[n-1] == 0 the unique smallest sentinel.  Writes SA[0..n).
+static void sais(const i32* s, i32* SA, i32 n, i32 K) {
+  if (n == 1) { SA[0] = 0; return; }
+  std::vector<u8> t(n);
+  t[n - 1] = 1;
+  for (i32 i = n - 2; i >= 0; i--)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+  auto is_lms = [&](i32 i) { return i > 0 && t[i] && !t[i - 1]; };
+  std::vector<i32> bkt(K);
+  auto bucket_init = [&](bool end) {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (i32 i = 0; i < n; i++) bkt[s[i]]++;
+    i32 sum = 0;
+    for (i32 c = 0; c < K; c++) {
+      sum += bkt[c];
+      bkt[c] = end ? sum : sum - bkt[c];
+    }
+  };
+  auto induce = [&]() {
+    bucket_init(false);
+    for (i32 i = 0; i < n; i++)
+      if (SA[i] > 0) {
+        i32 j = SA[i] - 1;
+        if (!t[j]) SA[bkt[s[j]]++] = j;
+      }
+    bucket_init(true);
+    for (i32 i = n - 1; i >= 0; i--)
+      if (SA[i] > 0) {
+        i32 j = SA[i] - 1;
+        if (t[j]) SA[--bkt[s[j]]] = j;
+      }
+  };
+
+  // stage 1: approximate LMS order, induce, then name LMS substrings
+  std::fill(SA, SA + n, -1);
+  bucket_init(true);
+  for (i32 i = 1; i < n; i++)
+    if (is_lms(i)) SA[--bkt[s[i]]] = i;
+  induce();
+
+  i32 n1 = 0;
+  for (i32 i = 0; i < n; i++)
+    if (is_lms(SA[i])) SA[n1++] = SA[i];
+  std::fill(SA + n1, SA + n, -1);
+  i32 name = 0, prev = -1;
+  for (i32 i = 0; i < n1; i++) {
+    i32 pos = SA[i];
+    bool diff = false;
+    for (i32 d = 0; d < n; d++) {
+      if (prev < 0 || s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+        diff = true;
+        break;
+      }
+      if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+    }
+    if (diff) { name++; prev = pos; }
+    SA[n1 + pos / 2] = name - 1;
+  }
+  for (i32 i = n - 1, j = n - 1; i >= n1; i--)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+
+  // stage 2: order LMS suffixes (recurse while names collide)
+  i32* SA1 = SA;
+  i32* s1 = SA + n - n1;
+  if (name < n1) {
+    sais(s1, SA1, n1, name);
+  } else {
+    for (i32 i = 0; i < n1; i++) SA1[s1[i]] = i;
+  }
+  {
+    i32 k = 0;
+    for (i32 i = 1; i < n; i++)
+      if (is_lms(i)) s1[k++] = i;
+    for (i32 i = 0; i < n1; i++) SA1[i] = s1[SA1[i]];
+  }
+
+  // stage 3: final induced sort from the exact LMS order
+  std::fill(SA + n1, SA + n, -1);
+  bucket_init(true);
+  for (i32 i = n1 - 1; i >= 0; i--) {
+    i32 j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[s[j]]] = j;
+  }
+  induce();
+}
+
+// ----------------------------------------------------- native block encode --
+struct BitWr {
+  u8* p;
+  i64 cap, len = 0;
+  u64 acc = 0;
+  int nb = 0;
+  bool overflow = false;
+  void put(u32 v, int k) {
+    acc = (acc << k) | (u64)(k >= 32 ? v : (v & ((1u << k) - 1)));
+    nb += k;
+    while (nb >= 8) {
+      if (len >= cap) { overflow = true; nb = 0; return; }
+      p[len++] = (u8)(acc >> (nb - 8));
+      nb -= 8;
+    }
+  }
+  i64 finish() {  // returns total bits; pads the final byte with low zeros
+    i64 bits = len * 8 + nb;
+    if (nb) {
+      if (len >= cap) { overflow = true; return -1; }
+      p[len++] = (u8)(acc << (8 - nb));
+      nb = 0;
+    }
+    return bits;
+  }
+};
+
+// Encode one RLE1 block (post-RLE1 bytes + metadata) into its bit payload
+// (reference wire layout, documented in oracle/block.py).  Returns the
+// payload bit count, or a negative BZT_* error.  out must hold at least
+// 3*n + (1 << 16) bytes.
+i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
+                        u8* out, i64 out_cap) {
+  if (n < 1) return BZT_DATA_ERROR;
+
+  // --- rotation sort: SA of block+block+sentinel, keep starts < n.
+  // Rotations differing within n chars order identically to the doubled
+  // suffixes; equal (periodic) rotations tie-break by start (immaterial to
+  // the last column).
+  i32 n2 = 2 * n + 1;
+  std::vector<i32> s(n2), SA(n2);
+  for (i32 i = 0; i < n; i++) { s[i] = block[i] + 1; s[n + i] = block[i] + 1; }
+  s[n2 - 1] = 0;
+  sais(s.data(), SA.data(), n2, 258);
+  std::vector<u8> last(n);
+  i32 orig_ptr = -1;
+  {
+    i32 k = 0;
+    for (i32 i = 0; i < n2; i++) {
+      i32 j = SA[i];
+      if (j < n) {
+        if (j == 0) orig_ptr = k;
+        last[k++] = block[(j + n - 1) % n];
+      }
+    }
+    if (k != n || orig_ptr < 0) return BZT_DATA_ERROR;
+  }
+  {
+    // Exactly-periodic blocks have tied (equal) rotations; origPtr is then
+    // unconstrained by the format (stock bzip2, the reference fork, and
+    // any correct sorter all pick different rows; decode is invariant).
+    // Normalize to the oracle's policy (oracle/bwt.py): rank 0's class
+    // base, +1 when ties exist.  Smallest period via the KMP failure
+    // function; equal rotations of rotation 0 are {0, p, 2p, ...}, which
+    // the doubled-suffix order places before it (descending start).
+    std::vector<i32> pi(n, 0);
+    for (i32 i = 1; i < n; i++) {
+      i32 q = pi[i - 1];
+      while (q && block[i] != block[q]) q = pi[q - 1];
+      if (block[i] == block[q]) q++;
+      pi[i] = q;
+    }
+    i32 p = n - pi[n - 1];
+    if (n % p == 0 && p < n) {
+      i32 csize = n / p;
+      // all rotations equal -> base (0); otherwise class base + 1
+      orig_ptr = (p == 1) ? 0 : orig_ptr - (csize - 1) + 1;
+    }
+  }
+
+  // --- MTF + RLE2 over the used alphabet.
+  u8 remap[256];
+  u8 mtf[256];
+  i32 n_used = 0;
+  for (i32 c = 0; c < 256; c++)
+    if (in_use[c]) { remap[c] = (u8)n_used; mtf[n_used] = (u8)n_used; n_used++; }
+  if (n_used == 0) return BZT_DATA_ERROR;
+  i32 alpha = n_used + 2;
+  i32 eob = n_used + 1;
+
+  std::vector<u16> mtfv;
+  mtfv.reserve(n + 1);
+  i32 freq[258];
+  memset(freq, 0, sizeof freq);
+  i64 zrun = 0;
+  auto flush_run = [&]() {
+    // bijective base-2: Z emits floor(log2(Z+1)) digits, digit_j =
+    // ((Z+1) >> j) & 1 (0 = RUNA, 1 = RUNB)
+    i64 m = zrun + 1;
+    while (m >= 2) {
+      u16 d = (u16)(m & 1);
+      mtfv.push_back(d);
+      freq[d]++;
+      m >>= 1;
+    }
+    zrun = 0;
+  };
+  for (i32 i = 0; i < n; i++) {
+    u8 sym = remap[last[i]];
+    if (mtf[0] == sym) { zrun++; continue; }
+    i32 p = 1;
+    while (mtf[p] != sym) p++;
+    if (zrun) flush_run();
+    memmove(mtf + 1, mtf, p);
+    mtf[0] = sym;
+    mtfv.push_back((u16)(p + 1));
+    freq[p + 1]++;
+  }
+  if (zrun) flush_run();
+  mtfv.push_back((u16)eob);
+  freq[eob]++;
+  i64 n_mtf = (i64)mtfv.size();
+
+  // --- greedy 6-table search (oracle/groups.py semantics).
+  i32 n_groups = n_mtf < 200 ? 2 : n_mtf < 600 ? 3 : n_mtf < 1200 ? 4
+                 : n_mtf < 2400 ? 5 : 6;
+  i32 lens[6][258];
+  {  // frequency-partition seeding
+    for (i32 t2 = 0; t2 < n_groups; t2++)
+      for (i32 v = 0; v < alpha; v++) lens[t2][v] = 15;  // GREATER_ICOST
+    i32 n_part = n_groups, gs = 0;
+    i64 rem_f = n_mtf;
+    while (n_part > 0) {
+      i64 t_freq = rem_f / n_part;
+      i32 ge = gs - 1;
+      i64 a_freq = 0;
+      while (a_freq < t_freq && ge < alpha - 1) a_freq += freq[++ge];
+      if (ge > gs && n_part != n_groups && n_part != 1
+          && ((n_groups - n_part) % 2 == 1)) {
+        a_freq -= freq[ge--];
+      }
+      for (i32 v = gs; v <= ge; v++) lens[n_part - 1][v] = 0;  // LESSER_ICOST
+      n_part--;
+      gs = ge + 1;
+      rem_f -= a_freq;
+    }
+  }
+  i64 n_sel = (n_mtf + 49) / 50;
+  if (n_sel > 18002) return BZT_DATA_ERROR;
+  std::vector<u8> selectors(n_sel);
+  i32 new_freq[6][258];
+  for (i32 it = 0; it < 4; it++) {
+    memset(new_freq, 0, sizeof new_freq);
+    for (i64 g = 0; g < n_sel; g++) {
+      i64 lo = g * 50, hi = lo + 50 < n_mtf ? lo + 50 : n_mtf;
+      i32 cost[6] = {0, 0, 0, 0, 0, 0};
+      for (i64 i = lo; i < hi; i++) {
+        u16 sym = mtfv[i];
+        for (i32 t2 = 0; t2 < n_groups; t2++) cost[t2] += lens[t2][sym];
+      }
+      i32 best = 0;
+      for (i32 t2 = 1; t2 < n_groups; t2++)
+        if (cost[t2] < cost[best]) best = t2;   // first minimum wins
+      selectors[g] = (u8)best;
+      for (i64 i = lo; i < hi; i++) new_freq[best][mtfv[i]]++;
+    }
+    for (i32 t2 = 0; t2 < n_groups; t2++)
+      huff_lengths_one(new_freq[t2], alpha, 17, lens[t2]);
+  }
+
+  // canonical codes: ascending length, then symbol order
+  u32 codes[6][258];
+  for (i32 t2 = 0; t2 < n_groups; t2++) {
+    i32 mn = 32, mx = 0;
+    for (i32 v = 0; v < alpha; v++) {
+      if (lens[t2][v] < mn) mn = lens[t2][v];
+      if (lens[t2][v] > mx) mx = lens[t2][v];
+    }
+    u32 vec = 0;
+    for (i32 L = mn; L <= mx; L++) {
+      for (i32 v = 0; v < alpha; v++)
+        if (lens[t2][v] == L) codes[t2][v] = vec++;
+      vec <<= 1;
+    }
+  }
+
+  // --- serialize.
+  BitWr w{out, out_cap};
+  w.put(0x314159u, 24);
+  w.put(0x265359u, 24);
+  w.put(crc, 32);
+  w.put(0, 1);
+  w.put((u32)orig_ptr, 24);
+  u32 gmap = 0;
+  for (i32 g = 0; g < 16; g++) {
+    for (i32 j = 0; j < 16; j++)
+      if (in_use[g * 16 + j]) { gmap |= 1u << (15 - g); break; }
+  }
+  w.put(gmap, 16);
+  for (i32 g = 0; g < 16; g++) {
+    if (!(gmap & (1u << (15 - g)))) continue;
+    u32 bits = 0;
+    for (i32 j = 0; j < 16; j++)
+      if (in_use[g * 16 + j]) bits |= 1u << (15 - j);
+    w.put(bits, 16);
+  }
+  w.put((u32)n_groups, 3);
+  w.put((u32)n_sel, 15);
+  {  // selector MTF, unary codes
+    u8 pos[6];
+    for (i32 t2 = 0; t2 < n_groups; t2++) pos[t2] = (u8)t2;
+    for (i64 g = 0; g < n_sel; g++) {
+      u8 v = selectors[g];
+      i32 p = 0;
+      while (pos[p] != v) p++;
+      for (i32 j2 = p; j2 > 0; j2--) pos[j2] = pos[j2 - 1];
+      pos[0] = v;
+      // value p+1 -> p ones then a zero: pattern (1<<(p+1))-2 in p+1 bits
+      w.put((1u << (p + 1)) - 2, p + 1);
+    }
+  }
+  for (i32 t2 = 0; t2 < n_groups; t2++) {  // delta-coded length tables
+    i32 curr = lens[t2][0];
+    w.put((u32)curr, 5);
+    for (i32 v = 0; v < alpha; v++) {
+      while (curr < lens[t2][v]) { w.put(2, 2); curr++; }
+      while (curr > lens[t2][v]) { w.put(3, 2); curr--; }
+      w.put(0, 1);
+    }
+  }
+  for (i64 i = 0; i < n_mtf; i++) {  // payload
+    i32 t2 = selectors[i / 50];
+    u16 sym = mtfv[i];
+    w.put(codes[t2][sym], lens[t2][sym]);
+  }
+  i64 bits = w.finish();
+  if (w.overflow) return BZT_MEM_ERROR;
+  return bits;
 }
 
 }  // extern "C"

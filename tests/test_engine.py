@@ -12,7 +12,10 @@ from bzip2_tpu.engine import Engine
 
 @pytest.fixture(scope="module")
 def engine():
-    return Engine(batch_size=2)
+    # host_workers=0 pins every block onto the JAX device path (the hybrid
+    # scheduler's host side is covered by test_native_encode / the hybrid
+    # equality test below)
+    return Engine(batch_size=2, host_workers=0)
 
 
 @pytest.mark.parametrize("i,level", [(1, 1), (2, 2), (3, 3)])
