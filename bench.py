@@ -15,7 +15,7 @@ host, 85 MB of this corpus, 2026-08-16, best of 2): encode -9 22.4 MB/s +
 decode 35.6 MB/s => combined round-trip 13.7 MB/s.  vs_baseline is the
 ratio of our combined round-trip throughput to that.
 
-Env knobs: BENCH_BYTES (default 16 MiB), BENCH_LEVEL (default 9).
+Env knobs: BENCH_BYTES (default 32 MiB), BENCH_LEVEL (default 9).
 """
 import json
 import os
@@ -89,7 +89,7 @@ def main():
     from bzip2_tpu.engine import Engine
 
     level = int(os.environ.get("BENCH_LEVEL", "9"))
-    target = int(os.environ.get("BENCH_BYTES", str(16 << 20)))
+    target = int(os.environ.get("BENCH_BYTES", str(32 << 20)))
     data = make_corpus(target)
     log(f"devices: {jax.devices()}  level={level}  input={len(data) / 1e6:.1f} MB")
 

@@ -18,8 +18,10 @@
 // Build: g++ -O3 -shared -fPIC (see build.py).  ABI: plain C, ctypes.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <new>
 #include <vector>
 
@@ -721,45 +723,59 @@ i64 bz2tpu_rle1_split(const u8* data, i64 len, i32 nmax, u8* out,
   return n_blocks;
 }
 
+}  // extern "C" (templates need C++ linkage)
+
 // ----------------------------------------------------------------- SA-IS --
 // Suffix array by induced sorting (the published Nong/Zhang/Chan SA-IS
 // algorithm, implemented from its description).  s: values in [1, K) with
 // s[n-1] == 0 the unique smallest sentinel.  Writes SA[0..n).
-static void sais(const i32* s, i32* SA, i32 n, i32 K) {
+// Templated on the text type so the byte level runs on u16 (cache).
+template <typename C>
+static void sais_t(const C* s, i32* SA, i32 n, i32 K) {
   if (n == 1) { SA[0] = 0; return; }
   std::vector<u8> t(n);
   t[n - 1] = 1;
   for (i32 i = n - 2; i >= 0; i--)
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
   auto is_lms = [&](i32 i) { return i > 0 && t[i] && !t[i - 1]; };
-  std::vector<i32> bkt(K);
-  auto bucket_init = [&](bool end) {
-    std::fill(bkt.begin(), bkt.end(), 0);
-    for (i32 i = 0; i < n; i++) bkt[s[i]]++;
+  std::vector<i32> cnt(K, 0), bkt(K);
+  for (i32 i = 0; i < n; i++) cnt[s[i]]++;
+  auto bucket_start = [&]() {
     i32 sum = 0;
-    for (i32 c = 0; c < K; c++) {
-      sum += bkt[c];
-      bkt[c] = end ? sum : sum - bkt[c];
-    }
+    for (i32 c = 0; c < K; c++) { bkt[c] = sum; sum += cnt[c]; }
+  };
+  auto bucket_end = [&]() {
+    i32 sum = 0;
+    for (i32 c = 0; c < K; c++) { sum += cnt[c]; bkt[c] = sum; }
   };
   auto induce = [&]() {
-    bucket_init(false);
-    for (i32 i = 0; i < n; i++)
+    bucket_start();
+    for (i32 i = 0; i < n; i++) {
+      if (i + 8 < n) {
+        i32 a = SA[i + 8];
+        if (a > 0) { __builtin_prefetch(&s[a - 1]); __builtin_prefetch(&t[a - 1]); }
+      }
       if (SA[i] > 0) {
         i32 j = SA[i] - 1;
         if (!t[j]) SA[bkt[s[j]]++] = j;
       }
-    bucket_init(true);
-    for (i32 i = n - 1; i >= 0; i--)
+    }
+    bucket_end();
+    for (i32 i = n - 1; i >= 0; i--) {
+      if (i - 8 >= 0) {
+        i32 a = SA[i - 8];
+        if (a > 0) { __builtin_prefetch(&s[a - 1]); __builtin_prefetch(&t[a - 1]); }
+      }
       if (SA[i] > 0) {
         i32 j = SA[i] - 1;
         if (t[j]) SA[--bkt[s[j]]] = j;
       }
+    }
   };
 
   // stage 1: approximate LMS order, induce, then name LMS substrings
   std::fill(SA, SA + n, -1);
-  bucket_init(true);
+  bucket_end();
   for (i32 i = 1; i < n; i++)
     if (is_lms(i)) SA[--bkt[s[i]]] = i;
   induce();
@@ -789,7 +805,7 @@ static void sais(const i32* s, i32* SA, i32 n, i32 K) {
   i32* SA1 = SA;
   i32* s1 = SA + n - n1;
   if (name < n1) {
-    sais(s1, SA1, n1, name);
+    sais_t<i32>(s1, SA1, n1, name);
   } else {
     for (i32 i = 0; i < n1; i++) SA1[s1[i]] = i;
   }
@@ -802,7 +818,7 @@ static void sais(const i32* s, i32* SA, i32 n, i32 K) {
 
   // stage 3: final induced sort from the exact LMS order
   std::fill(SA + n1, SA + n, -1);
-  bucket_init(true);
+  bucket_end();
   for (i32 i = n1 - 1; i >= 0; i--) {
     i32 j = SA[i];
     SA[i] = -1;
@@ -810,6 +826,8 @@ static void sais(const i32* s, i32* SA, i32 n, i32 K) {
   }
   induce();
 }
+
+extern "C" {
 
 // ----------------------------------------------------- native block encode --
 struct BitWr {
@@ -845,16 +863,31 @@ struct BitWr {
 i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
                         u8* out, i64 out_cap) {
   if (n < 1) return BZT_DATA_ERROR;
+  const bool dbg = getenv("BZ2TPU_DEBUG_TIMING") != nullptr;
+  struct timespec t0, t1;
+  auto lap = [&](const char* what) {
+    if (!dbg) return;
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    fprintf(stderr, "[enc] %-8s %.3fs\n", what,
+            (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec));
+    t0 = t1;
+  };
+  if (dbg) clock_gettime(CLOCK_MONOTONIC, &t0);
 
   // --- rotation sort: SA of block+block+sentinel, keep starts < n.
   // Rotations differing within n chars order identically to the doubled
   // suffixes; equal (periodic) rotations tie-break by start (immaterial to
   // the last column).
   i32 n2 = 2 * n + 1;
-  std::vector<i32> s(n2), SA(n2);
-  for (i32 i = 0; i < n; i++) { s[i] = block[i] + 1; s[n + i] = block[i] + 1; }
+  std::vector<u16> s(n2);
+  std::vector<i32> SA(n2);
+  for (i32 i = 0; i < n; i++) {
+    s[i] = (u16)(block[i] + 1);
+    s[n + i] = (u16)(block[i] + 1);
+  }
   s[n2 - 1] = 0;
-  sais(s.data(), SA.data(), n2, 258);
+  sais_t<u16>(s.data(), SA.data(), n2, 258);
+  lap("sais");
   std::vector<u8> last(n);
   i32 orig_ptr = -1;
   {
@@ -933,6 +966,7 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   mtfv.push_back((u16)eob);
   freq[eob]++;
   i64 n_mtf = (i64)mtfv.size();
+  lap("mtf");
 
   // --- greedy 6-table search (oracle/groups.py semantics).
   i32 n_groups = n_mtf < 200 ? 2 : n_mtf < 600 ? 3 : n_mtf < 1200 ? 4
@@ -980,6 +1014,8 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
     for (i32 t2 = 0; t2 < n_groups; t2++)
       huff_lengths_one(new_freq[t2], alpha, 17, lens[t2]);
   }
+
+  lap("groups");
 
   // canonical codes: ascending length, then symbol order
   u32 codes[6][258];
@@ -1047,6 +1083,7 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
     w.put(codes[t2][sym], lens[t2][sym]);
   }
   i64 bits = w.finish();
+  lap("pack");
   if (w.overflow) return BZT_MEM_ERROR;
   return bits;
 }
