@@ -294,6 +294,21 @@ struct RandState {
 // Decode one block body (after the 48-bit block magic has been consumed).
 // Appends the block's raw bytes to ob and folds its CRC into *combined.
 // Returns BZT_OK / BZT_DATA_ERROR / BZT_UNEXPECTED_EOF / BZT_MEM_ERROR.
+static double g_dec_t[4];
+static void dec_lap(int k, struct timespec* t0) {
+  if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
+  struct timespec t1;
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  g_dec_t[k] += (t1.tv_sec - t0->tv_sec) + 1e-9 * (t1.tv_nsec - t0->tv_nsec);
+  *t0 = t1;
+}
+void bz2tpu_dump_dec_timing() {
+  if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
+  fprintf(stderr, "[dec] hdr %.3fs  huff/mtf %.3fs  ibwt-build %.3fs  walk %.3fs\n",
+          g_dec_t[0], g_dec_t[1], g_dec_t[2], g_dec_t[3]);
+  memset(g_dec_t, 0, sizeof g_dec_t);
+}
+
 static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
                         OutBuf& ob, u32* combined) {
   u32 stored_crc, w;
@@ -361,6 +376,9 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
     if (!build_group(groups[t], lens, alpha)) return BZT_DATA_ERROR;
   }
 
+  struct timespec dect0;
+  if (getenv("BZ2TPU_DEBUG_TIMING")) clock_gettime(CLOCK_MONOTONIC, &dect0);
+  dec_lap(0, &dect0);
   // MTF / RLE2 symbol loop
   u8 mtf[256];
   memcpy(mtf, used, n_used);
@@ -423,6 +441,7 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
     blk[n++] = c;
   }
   if (n == 0 || (i32)orig_ptr >= n) return BZT_DATA_ERROR;
+  dec_lap(1, &dect0);
 
   // inverse BWT: stable counting order with char + successor fused into one
   // u32 per entry (one random access per output byte; the reference's
@@ -432,6 +451,7 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
   // finished output span instead of per-byte inside the chain walk.
   for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
   for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = ((u32)i << 8) | blk[i];
+  dec_lap(2, &dect0);
   if (!ob.grow((i64)n + 300)) return BZT_MEM_ERROR;
   i64 out_start = ob.len;
   RandState rs;
@@ -459,6 +479,7 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
       run_ch = -1; run_len = 0;
     }
   }
+  dec_lap(3, &dect0);
   u32 crc = ~crc_update(0xffffffffu, ob.p + out_start, ob.len - out_start);
   if (crc != stored_crc) return BZT_DATA_ERROR;
   *combined = ((*combined << 1) | (*combined >> 31)) ^ crc;
