@@ -104,9 +104,11 @@ def main():
     native.decompress(warm)
     log(f"warm (compile + heap prefault + full pass): {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    comp = eng.compress(data, level)
-    t_enc = time.time() - t0
+    t_enc = float("inf")
+    for _ in range(2):   # best-of-2: host timings jitter on this VM
+        t0 = time.time()
+        comp = eng.compress(data, level)
+        t_enc = min(t_enc, time.time() - t0)
     log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
         f"(ratio {len(data) / len(comp):.2f}:1)")
 
