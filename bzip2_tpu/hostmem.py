@@ -40,13 +40,34 @@ def set_malloc_retention() -> bool:
         return False
 
 
+_MADV_HUGEPAGE = 14
+_HUGE = 2 << 20
+
+
+def advise_hugepages(addr: int, nbytes: int) -> None:
+    """MADV_HUGEPAGE the 2MB-aligned interior of [addr, addr+nbytes).  On
+    this VM a THP fault costs the same as a 4K fault, so hinting before
+    first touch makes fresh memory ~100x faster (and cuts TLB misses for
+    big random-access tables)."""
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        a = (addr + _HUGE - 1) & ~(_HUGE - 1)
+        end = (addr + nbytes) & ~(_HUGE - 1)
+        if end > a:
+            libc.madvise(ctypes.c_void_p(a), ctypes.c_size_t(end - a),
+                         _MADV_HUGEPAGE)
+    except OSError:
+        pass
+
+
 def warm_heap(nbytes: int) -> None:
-    """Pre-fault ~nbytes of heap (touch one byte per page, then free; with
+    """Pre-fault ~nbytes of heap (hinted to THP, then touched; with
     retention set the pages stay resident for reuse)."""
     import numpy as np
 
     set_malloc_retention()
     buf = np.empty(nbytes, np.uint8)
+    advise_hugepages(buf.ctypes.data, nbytes)
     buf[::4096] = 1
     del buf
 

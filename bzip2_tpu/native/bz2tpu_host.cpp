@@ -24,6 +24,18 @@
 #include <ctime>
 #include <new>
 #include <vector>
+#include <sys/mman.h>
+
+// Hint THP for a big random-access buffer: on this VM class a 2MB fault
+// costs the same as a 4K one (~100x cheaper first touch), and the dTLB
+// stops thrashing on multi-MB pointer-chase tables.
+static inline void advise_huge(void* ptr, size_t len) {
+#ifdef MADV_HUGEPAGE
+  uintptr_t a = ((uintptr_t)ptr + ((2u << 20) - 1)) & ~(uintptr_t)((2u << 20) - 1);
+  uintptr_t end = ((uintptr_t)ptr + len) & ~(uintptr_t)((2u << 20) - 1);
+  if (end > a) madvise((void*)a, end - a, MADV_HUGEPAGE);
+#endif
+}
 
 extern "C" {
 
@@ -533,6 +545,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
         tt = (u32*)malloc((i64)max_block * 4);
         blk = (u8*)malloc(max_block);
         if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
+        advise_huge(tt, (i64)max_block * 4);
         blk_cap = max_block;
       }
       u32 combined = 0;
@@ -623,6 +636,7 @@ i32 bz2tpu_decode_some(const u8* data, i64 len, i64 start_bit, i32 level_in,
     tt = (u32*)malloc((i64)max_block * 4);
     blk = (u8*)malloc(max_block);
     if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
+    advise_huge(tt, (i64)max_block * 4);
 
     while (true) {
       if (!br.have(48)) goto need_more;
@@ -902,6 +916,8 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   i32 n2 = 2 * n + 1;
   std::vector<u16> s(n2);
   std::vector<i32> SA(n2);
+  advise_huge(s.data(), (size_t)n2 * 2);
+  advise_huge(SA.data(), (size_t)n2 * 4);
   for (i32 i = 0; i < n; i++) {
     s[i] = (u16)(block[i] + 1);
     s[n + i] = (u16)(block[i] + 1);
