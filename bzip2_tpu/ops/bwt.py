@@ -27,7 +27,6 @@ exactly-periodic blocks is not reproduced).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import G_SIZE, GREATER_ICOST, LESSER_ICOST, N_GROUPS, N_ITERS
+from ..constants import G_SIZE, GREATER_ICOST, LESSER_ICOST, N_ITERS
 from .huffman import make_code_lengths
 
 
