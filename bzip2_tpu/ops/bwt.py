@@ -12,9 +12,10 @@ cyclic rotations, with three optimizations that matter on this hardware:
      can be refined *locally*: members of a class re-rank as
      ``base + offset`` without touching resolved positions.
   3. **Active-set compaction**: once the number of still-tied positions
-     fits a capacity bucket (N/2, N/8, N/32), the doubling passes move to a
-     compact buffer holding only tied positions, so sort/gather cost tracks
-     the unresolved set instead of the block size.  Worst case (periodic
+     fits a capacity bucket (N/2, then x4-shrinking stages), the doubling
+     passes move to a compact buffer holding only tied positions (with
+     3 extra neighbour ranks per pass — generalized x4 doubling), so
+     sort/gather cost tracks the unresolved set.  Worst case (periodic
      blocks, whose rotations tie until k >= n) degrades gracefully to
      full-width passes; those use a roll-based neighbour-rank fetch while
      ``k`` fits inside the per-batch pad slack (the pad region mirrors
