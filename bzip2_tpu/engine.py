@@ -210,9 +210,14 @@ class Engine:
     AUTO_BATCH_BYTES = 8 << 20
 
     def __init__(self, batch_size: int | None = None, mode: str | None = None,
-                 pipeline: int = 2, host_workers: int | None = None):
+                 pipeline: int = 2, host_workers: int | None = None,
+                 use_device: bool = True):
         self.batch_size = batch_size
         self.pipeline = max(1, pipeline)
+        #: False = host-only scheduling (native C++ workers; the device is
+        #: never touched).  The bench's last-resort when the tunneled
+        #: runtime degrades; also useful on machines without JAX devices.
+        self.use_device = use_device
         native_ok = False
         try:
             from . import native
@@ -284,8 +289,9 @@ class Engine:
             from .ops import mtf as _mtf
             if not _mtf.pallas_enabled():
                 raise
-            tracing.vlog(1, "pallas executable failed at runtime; "
-                            "recompiling on the XLA path")
+            import sys as _sys
+            _sys.stderr.write("bz2tpu: pallas executable failed at runtime; "
+                              "recompiling on the XLA path\n")
             _mtf.set_pallas_enabled(False)
             self._compiled.clear()
             return self._encode_batch_inner(level, arr, ns, uses, crcs)
@@ -413,25 +419,34 @@ class Engine:
                 errors.append(e)
 
         host_threads = []
-        if self.host_workers:
+        n_host = self.host_workers
+        if not self.use_device:
+            n_host = max(1, n_host)
+        if n_host:
             try:
                 from . import native
                 if native.available():
                     host_threads = [threading.Thread(target=host_worker)
-                                    for _ in range(self.host_workers)]
+                                    for _ in range(n_host)]
                     for t in host_threads:
                         t.start()
             except Exception:
                 host_threads = []
+        if not self.use_device:
+            if not host_threads:
+                raise RuntimeError("use_device=False requires the native "
+                                   "encoder")
+            host_worker()   # main thread joins the host pool
 
         # warm the compile cache single-threaded, then fan out
-        try:
-            s, take = claim_front()
-            if take:
-                run_batch(s, take)
-        except BaseException as e:  # noqa: BLE001
-            errors.append(e)
-        if not errors:
+        if self.use_device:
+            try:
+                s, take = claim_front()
+                if take:
+                    run_batch(s, take)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+        if self.use_device and not errors:
             tpu_threads = [threading.Thread(target=tpu_worker)
                            for _ in range(max(0, self.pipeline - 1))]
             for t in tpu_threads:
