@@ -321,8 +321,14 @@ void bz2tpu_dump_dec_timing() {
   memset(g_dec_t, 0, sizeof g_dec_t);
 }
 
-static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
-                        OutBuf& ob, u32* combined) {
+// Split block decode: a bit-serial symbol phase and a memory-bound chain
+// walk.  The one-shot stream decoder pairs two blocks and interleaves
+// their walks (two independent dependency chains hide the LLC latency of
+// the tt pointer chase).
+struct BlockSym { i32 n; u32 stored_crc; u32 randomised; u32 orig_ptr; };
+
+static i32 decode_block_symbols(BitRd& br, i32 max_block, u8* blk,
+                                i32* cftab, BlockSym& bs) {
   u32 stored_crc, w;
   GET(stored_crc, 16); GET(w, 16);
   stored_crc = (stored_crc << 16) | w;
@@ -394,8 +400,7 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
   // MTF / RLE2 symbol loop
   u8 mtf[256];
   memcpy(mtf, used, n_used);
-  i32 cftab[257];
-  memset(cftab, 0, sizeof cftab);
+  memset(cftab, 0, 257 * sizeof(i32));
   i32 n = 0;
   i32 group_no = -1, group_pos = 0;
   Group* gr = nullptr;
@@ -454,48 +459,91 @@ static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
   }
   if (n == 0 || (i32)orig_ptr >= n) return BZT_DATA_ERROR;
   dec_lap(1, &dect0);
+  bs.n = n;
+  bs.stored_crc = stored_crc;
+  bs.randomised = randomised;
+  bs.orig_ptr = orig_ptr;
+  return BZT_OK;
+}
 
-  // inverse BWT: stable counting order with char + successor fused into one
-  // u32 per entry (one random access per output byte; the reference's
-  // composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444),
-  // then walk the chain with RLE1 expansion (+ optional legacy
-  // derandomisation).  The block CRC runs vectorised (slice-by-8) over the
-  // finished output span instead of per-byte inside the chain walk.
+// inverse BWT: stable counting order with char + successor fused into one
+// u32 per entry (one random access per output byte; the reference's
+// composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444),
+// then walk the chain with RLE1 expansion (+ optional legacy
+// derandomisation).  The block CRC runs vectorised (slice-by-8) over the
+// finished output span instead of per-byte inside the chain walk.
+static void build_tt(const u8* blk, i32 n, i32* cftab, u32* tt) {
   for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
   for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = ((u32)i << 8) | blk[i];
-  dec_lap(2, &dect0);
-  if (!ob.grow((i64)n + 300)) return BZT_MEM_ERROR;
-  i64 out_start = ob.len;
-  RandState rs;
-  u32 t = tt[orig_ptr];
-  i32 left = n;
+}
+
+struct WalkState {
+  const u32* tt;
+  u32 t;
+  i32 left;
   i32 run_ch = -1, run_len = 0;
-  while (left > 0) {
-    u8 ch = (u8)t;
-    t = tt[t >> 8];
-    left--;
-    if (randomised) ch ^= (u8)rs.next_mask();
-    if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
-    if (ob.len + 300 > ob.cap && !ob.grow(300)) return BZT_MEM_ERROR;
-    ob.p[ob.len++] = ch;
-    if (run_len == 4) {
-      if (left == 0) return BZT_DATA_ERROR;
-      u8 cnt = (u8)t;
-      t = tt[t >> 8];
-      left--;
-      if (randomised) cnt ^= (u8)rs.next_mask();
-      if (cnt) {
-        memset(ob.p + ob.len, ch, cnt);
-        ob.len += cnt;
-      }
-      run_ch = -1; run_len = 0;
+  u32 randomised;
+  RandState rs;
+  OutBuf* o;
+};
+
+static inline i32 walk_step(WalkState& w) {
+  u8 ch = (u8)w.t;
+  w.t = w.tt[w.t >> 8];
+  w.left--;
+  if (w.randomised) ch ^= (u8)w.rs.next_mask();
+  if ((i32)ch == w.run_ch) w.run_len++; else { w.run_ch = ch; w.run_len = 1; }
+  if (w.o->len + 300 > w.o->cap && !w.o->grow(300)) return BZT_MEM_ERROR;
+  w.o->p[w.o->len++] = ch;
+  if (w.run_len == 4) {
+    if (w.left == 0) return BZT_DATA_ERROR;
+    u8 cnt = (u8)w.t;
+    w.t = w.tt[w.t >> 8];
+    w.left--;
+    if (w.randomised) cnt ^= (u8)w.rs.next_mask();
+    if (cnt) {
+      memset(w.o->p + w.o->len, ch, cnt);
+      w.o->len += cnt;
     }
+    w.run_ch = -1;
+    w.run_len = 0;
   }
-  dec_lap(3, &dect0);
+  return BZT_OK;
+}
+
+static i32 walk_finish(const BlockSym& bs, OutBuf& ob, i64 out_start,
+                       u32* combined) {
   u32 crc = ~crc_update(0xffffffffu, ob.p + out_start, ob.len - out_start);
-  if (crc != stored_crc) return BZT_DATA_ERROR;
+  if (crc != bs.stored_crc) return BZT_DATA_ERROR;
   *combined = ((*combined << 1) | (*combined >> 31)) ^ crc;
   return BZT_OK;
+}
+
+static i32 walk_block(const BlockSym& bs, const u8* blk, i32* cftab, u32* tt,
+                      OutBuf& ob, u32* combined) {
+  struct timespec dect0;
+  if (getenv("BZ2TPU_DEBUG_TIMING")) clock_gettime(CLOCK_MONOTONIC, &dect0);
+  build_tt(blk, bs.n, cftab, tt);
+  dec_lap(2, &dect0);
+  if (!ob.grow((i64)bs.n + 300)) return BZT_MEM_ERROR;
+  i64 out_start = ob.len;
+  WalkState w{tt, tt[bs.orig_ptr], bs.n, -1, 0, bs.randomised, RandState(),
+              &ob};
+  while (w.left > 0) {
+    i32 rc = walk_step(w);
+    if (rc != BZT_OK) return rc;
+  }
+  dec_lap(3, &dect0);
+  return walk_finish(bs, ob, out_start, combined);
+}
+
+static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
+                        OutBuf& ob, u32* combined) {
+  i32 cftab[257];
+  BlockSym bs;
+  i32 rc = decode_block_symbols(br, max_block, blk, cftab, bs);
+  if (rc != BZT_OK) return rc;
+  return walk_block(bs, blk, cftab, tt, ob, combined);
 }
 
 #define GET2(v, k) do { if (!br.have(k)) { err = BZT_UNEXPECTED_EOF; goto done; } \
