@@ -821,6 +821,9 @@ static void sais_t(const C* s, i32* SA, i32 n, i32 K) {
   for (i32 i = n - 2; i >= 0; i--)
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
   auto is_lms = [&](i32 i) { return i > 0 && t[i] && !t[i - 1]; };
+  // fused (value, type) so the induce loops do one random load per entry
+  std::vector<C> c(n);
+  for (i32 i = 0; i < n; i++) c[i] = (C)(((u32)s[i] << 1) | t[i]);
   std::vector<i32> cnt(K, 0), bkt(K);
   for (i32 i = 0; i < n; i++) cnt[s[i]]++;
   auto bucket_start = [&]() {
@@ -836,22 +839,24 @@ static void sais_t(const C* s, i32* SA, i32 n, i32 K) {
     for (i32 i = 0; i < n; i++) {
       if (i + 8 < n) {
         i32 a = SA[i + 8];
-        if (a > 0) { __builtin_prefetch(&s[a - 1]); __builtin_prefetch(&t[a - 1]); }
+        if (a > 0) __builtin_prefetch(&c[a - 1]);
       }
       if (SA[i] > 0) {
         i32 j = SA[i] - 1;
-        if (!t[j]) SA[bkt[s[j]]++] = j;
+        C cj = c[j];
+        if (!(cj & 1)) SA[bkt[cj >> 1]++] = j;
       }
     }
     bucket_end();
     for (i32 i = n - 1; i >= 0; i--) {
       if (i - 8 >= 0) {
         i32 a = SA[i - 8];
-        if (a > 0) { __builtin_prefetch(&s[a - 1]); __builtin_prefetch(&t[a - 1]); }
+        if (a > 0) __builtin_prefetch(&c[a - 1]);
       }
       if (SA[i] > 0) {
         i32 j = SA[i] - 1;
-        if (t[j]) SA[--bkt[s[j]]] = j;
+        C cj = c[j];
+        if (cj & 1) SA[--bkt[cj >> 1]] = j;
       }
     }
   };
