@@ -63,3 +63,11 @@ def test_hybrid_scheduler_matches_pure_device(rng):
     pure = Engine(batch_size=2, host_workers=0).compress(data, 1)
     mixed = Engine(batch_size=2, host_workers=1).compress(data, 1)
     assert pure == mixed == bz2.compress(data, 1)
+
+
+def test_host_only_engine():
+    pytest.importorskip("jax")
+    from bzip2_tpu.engine import Engine
+    data = _text(300_000)
+    eng = Engine(use_device=False)
+    assert eng.compress(data, 3) == bz2.compress(data, 3)
