@@ -145,8 +145,12 @@ if __name__ == "__main__":
     # INVALID_ARGUMENT and degrades as the VM ages (see bzip2_tpu/ops/mtf.py
     # and the hostmem notes).  Fallback chain keeps the benchmark
     # recordable: hybrid+pallas -> hybrid+XLA -> host-only scheduler.
+    # AssertionError is a *correctness* failure (round-trip mismatch); it
+    # must never be papered over by a backend retry.
     try:
         main()
+    except AssertionError:
+        raise
     except Exception as e:  # noqa: BLE001
         log(f"bench attempt failed ({type(e).__name__}: {e}); "
             "retrying on the XLA path")
@@ -154,6 +158,8 @@ if __name__ == "__main__":
         _mtf.set_pallas_enabled(False)
         try:
             main()
+        except AssertionError:
+            raise
         except Exception as e2:  # noqa: BLE001
             log(f"XLA retry failed ({type(e2).__name__}: {e2}); "
                 "falling back to the host-only scheduler")

@@ -29,8 +29,6 @@ from . import crc as _crc
 from . import hostmem as _hostmem
 from . import rle1 as _rle1
 from . import tracing
-
-_hostmem.set_malloc_retention()
 from .bitstream import BitWriter, splice
 from .ops.bitpack import pack_fields
 from .ops.bwt import bwt_batched
@@ -212,6 +210,10 @@ class Engine:
     def __init__(self, batch_size: int | None = None, mode: str | None = None,
                  pipeline: int = 2, host_workers: int | None = None,
                  use_device: bool = True):
+        # allocator retention is an Engine-scoped policy, not an import-time
+        # side effect (embedding applications keep their default glibc
+        # behavior until they actually construct an engine).
+        _hostmem.set_malloc_retention()
         self.batch_size = batch_size
         self.pipeline = max(1, pipeline)
         #: False = host-only scheduling (native C++ workers; the device is

@@ -82,7 +82,10 @@ def rle1_split(data, nmax: int):
         np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray)
         else data)
     n = buf.size
-    max_blocks = n // max(nmax, 1) + 2
+    # worst-case RLE1 expansion is 5/4 (runs of exactly 4 emit 4 literals +
+    # a length byte), so size the block table from the expanded output or
+    # such inputs would spuriously return -1 and fall back to NumPy.
+    max_blocks = (n + n // 4) // max(nmax, 1) + 2
     out = np.empty(n + n // 4 + 16, np.uint8)
     block_off = np.empty(max_blocks, np.int64)
     block_len = np.empty(max_blocks, np.int32)

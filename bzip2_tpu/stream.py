@@ -139,8 +139,13 @@ class Decompressor:
     def __init__(self, backend: str | None = None):
         self.eof = False
         self.unused_data = b""
+        #: bytes actually *consumed* by the decoder (bz_stream total_in
+        #: parity: buffered-but-undecoded input does not count until a block
+        #: completes; see the bit-position accounting in decompress()).
         self.total_in = 0
         self.total_out = 0
+        self._pushed = 0
+        self._dropped = 0
         self._buf = bytearray()
         self._bitpos = 0
         self._level = 0
@@ -157,7 +162,7 @@ class Decompressor:
             self.unused_data += bytes(data)
             return b""
         data = bytes(data)
-        self.total_in += len(data)
+        self._pushed += len(data)
         self._buf += data
         if self._use_native:
             from . import native
@@ -172,20 +177,26 @@ class Decompressor:
             if status == 1:
                 self.eof = True
                 self.unused_data = bytes(self._buf[(nbit + 7) // 8:])
-                self.total_in -= len(self.unused_data)
+                self.total_in = self._pushed - len(self.unused_data)
                 self._buf.clear()
             else:
+                # consumed = bytes covered by the resume bit position
+                self.total_in = min(
+                    self._pushed,
+                    self._dropped + (self._bitpos + 7) // 8)
                 # drop consumed whole bytes to bound memory
                 drop = self._bitpos // 8
                 if drop > (1 << 20):
                     del self._buf[:drop]
+                    self._dropped += drop
                     self._bitpos -= drop * 8
             return out
-        was_eof = self.eof
         out = self._decompress_oracle()
         self.total_out += len(out)
-        if self.eof and not was_eof:
-            self.total_in -= len(self.unused_data)
+        if self.eof:
+            self.total_in = self._pushed - len(self.unused_data)
+        else:
+            self.total_in = min(self._pushed, (self._bitpos + 7) // 8)
         return out
 
     def _decompress_oracle(self) -> bytes:
