@@ -23,8 +23,8 @@ cyclic rotations, with three optimizations that matter on this hardware:
 
 Blocks are padded to a common static N; pad positions sort to the tail.
 origPtr follows the tie policy documented in ``bzip2_tpu.oracle.bwt``
-(identical bytes + size; the reference's content-chaotic tie order for
-exactly-periodic blocks is not reproduced).
+(last in-class slot; matches stock on regular periodic families and on
+all distinct-rotation blocks).
 """
 from __future__ import annotations
 
@@ -256,11 +256,10 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
                           dimension=1, is_stable=True, num_keys=1)
     last = jnp.where(valid, pbs, 0).astype(jnp.uint8)
 
-    # origPtr tie policy (see oracle.bwt).
+    # origPtr tie policy (see oracle.bwt): last in-class slot =
+    # |{i : rot_i <= rot_0}| - 1 (rotation 0's rank when rotations are
+    # distinct; class base + m - 1 on exactly-periodic blocks).
     r0 = rank[:, 0]
-    base = jnp.sum(jnp.where(valid & (rank < r0[:, None]), 1, 0), axis=1)
-    max_rank = jnp.max(jnp.where(valid, rank, -1), axis=1)
-    ties = max_rank < (n - 1)
-    all_equal = max_rank == 0
-    orig_ptr = base + jnp.where(ties & jnp.logical_not(all_equal), 1, 0)
+    orig_ptr = jnp.sum(jnp.where(valid & (rank <= r0[:, None]), 1, 0),
+                       axis=1) - 1
     return last, orig_ptr.astype(jnp.int32), sa

@@ -14,16 +14,21 @@ any).  [Verified empirically against stock bzip2 on periodic inputs.]
 Host oracle: prefix-doubling over cyclic shifts with ``np.lexsort`` — the
 same algorithm the JAX kernel uses (O(n log^2 n), fully vectorized).
 
-Tie policy for exactly-periodic blocks (cyclic symmetry d | n, d < n): all
-rotations in a symmetry class are identical, so BWT bytes and output *size*
-are invariant to tie order; only the 24-bit origPtr value can differ.  The
-reference's divsufsort places rotation 0 at a content-dependent position
-inside its class (measured: chaotic).  We place it at in-class rank 1 when
-the class has >= 2 members and d > 1, and rank 0 for single-character blocks
-(d == 1) — matching the reference on runs (mk251-style) and simple textual
-repeats.  Real blocks of 100k-900k bytes are essentially never exactly
-periodic; when one is, our stream still decodes bit-exactly to the input and
-has exactly the reference's compressed size.
+Tie policy for exactly-periodic blocks (minimal period p | n, p < n): all m
+= n/p rotations in a symmetry class are identical strings, so BWT bytes and
+output *size* are invariant to the in-class tie order; only the 24-bit
+origPtr value can differ, and decode is byte-identical for every in-class
+choice.  We place rotation 0 at the LAST in-class slot (class base + m - 1),
+which matches stock bzip2 / the reference fork on every regular periodic
+family measured: periods 2/3/5/251 at block-filling and sub-block sizes,
+levels 1 and 9, all-equal blocks (``b"aa"``, ``b"aaa"``), plus ~84% of an
+exhaustive sweep of small binary periodic roots (tests/test_periodic.py).
+The residue (e.g. root ``aaba`` at m=2: reference picks in-class slot 0; at
+m=3 slot 1; at m=4 slot 0 again) tracks the reference's introsort pivot
+dynamics inside construct_SA (blocksort.c:1457-1493) — content-chaotic, not
+modeled.  For those roots our stream is bit-identical *except* the 24-bit
+origPtr field (asserted by test_periodic.py's masked comparison) and
+decodes to the same bytes.
 """
 from __future__ import annotations
 
@@ -61,15 +66,9 @@ def rotation_sort(block: np.ndarray) -> tuple[np.ndarray, int]:
             break
         k <<= 1
     sa = order  # ties remain in stable (previous-pass) order; BWT-invariant
-    if distinct:
-        orig_ptr = int(rank[0])
-    else:
-        # Exactly-periodic block: ranks are class ids; the base sorted rank
-        # of rotation 0's class is the number of strictly-smaller rotations.
-        # d == 1 iff every rotation is identical.
-        all_equal = bool(rank[order[-1]] == 0)
-        base = int((rank < rank[0]).sum())
-        orig_ptr = base + (0 if all_equal else 1)
+    # origPtr = last in-class slot = |{i : rot_i <= rot_0}| - 1 (the tie
+    # policy above; for distinct rotations this is just rotation 0's rank).
+    orig_ptr = int((rank <= rank[0]).sum()) - 1
     return sa, orig_ptr
 
 

@@ -34,15 +34,16 @@ def test_engine_multiblock_batching(engine, rng):
 
 
 def test_engine_tiny_and_runs(engine):
-    for data in [b"x", b"ab" * 300, b"z" * 100_000, bytes(255) * 4]:
+    # exactly-periodic inputs included: the origPtr tie policy (last
+    # in-class slot, oracle/bwt.py) makes these stock-identical too
+    for data in [b"x", b"ab" * 300, b"z" * 100_000, bytes(255) * 4,
+                 b"aa", b"aaa", b"xyz" * 2000]:
         out = engine.compress(data, 1)
-        assert stdlib_bz2.decompress(out) == data
+        assert out == stdlib_bz2.compress(data, 1)
 
 
 def test_engine_backend_registration(engine):
     from bzip2_tpu.engine import register_backend
     register_backend()
-    # note: non-periodic data (exactly-periodic blocks hit the documented
-    # origPtr tie-policy difference vs stock)
     data = b"backend registration round trip" * 10 + b"!"
     assert api.compress(data, 1, backend="tpu") == stdlib_bz2.compress(data, 1)
