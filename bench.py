@@ -46,9 +46,18 @@ def make_corpus(size: int) -> bytes:
     non-repeating text — the representative workload for a general-purpose
     compressor; a deterministic sorted file walk makes it reproducible on
     this machine, where the reference baseline is measured on the same
-    bytes).  Falls back to a de-periodized mix of the golden samples when
-    no stdlib tree is present."""
+    bytes).  Cached to .bench_corpus.bin so repeat runs skip the file walk.
+    Falls back to a de-periodized mix of the golden samples when no stdlib
+    tree is present."""
     import glob
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_corpus.bin")
+    try:
+        if os.path.getsize(cache) >= size:
+            with open(cache, "rb") as fh:
+                return fh.read(size)
+    except OSError:
+        pass
     seen = set()
     files = []
     for pat in ("/usr/lib/python3*/**/*.py", "/opt/venv/**/*.py"):
@@ -65,6 +74,11 @@ def make_corpus(size: int) -> bytes:
         except OSError:
             continue
         if len(buf) >= size:
+            try:
+                with open(cache, "wb") as fh:
+                    fh.write(buf[:size])
+            except OSError:
+                pass
             return bytes(buf[:size])
 
     # fallback: cycle sample1/2/3 with ~1% keyed letter rotations per repeat
@@ -90,35 +104,59 @@ def main(use_device: bool = True):
 
     level = int(os.environ.get("BENCH_LEVEL", "9"))
     target = int(os.environ.get("BENCH_BYTES", str(32 << 20)))
+    t0 = time.time()
     data = make_corpus(target)
+    t_corpus = time.time() - t0
     log(f"devices: {jax.devices()}  level={level}  input={len(data) / 1e6:.1f} MB")
 
     eng = Engine(use_device=use_device)
-    # Warm: compile + pre-fault host memory (this VM's first-touch page
-    # faults run ~100x slower than reuse; see bzip2_tpu/hostmem.py) by
-    # running the full pipeline once untimed.
+    # Warm phases (each logged: cold starts are dominated by the tunneled
+    # backend's server-side compiles, which Engine.prepare issues from
+    # parallel threads; the persistent cache turns reruns into executable
+    # loads):
+    #   heap  — pre-fault host memory (first-touch faults on this VM run
+    #           ~100x slower than reuse; see bzip2_tpu/hostmem.py)
+    #   prep  — device executable compile/load (parallel)
+    #   pass  — one full untimed encode+decode (page/TLB warm, JIT of the
+    #           remaining small host paths)
     from bzip2_tpu import hostmem
     t0 = time.time()
     hostmem.warm_heap(min(512 << 20, 4 * len(data) + (256 << 20)))
+    t_heap = time.time() - t0
+    t0 = time.time()
+    if use_device:
+        eng.prepare(level)
+    t_prep = time.time() - t0
+    t0 = time.time()
     warm = eng.compress(data, level)
     native.decompress(warm)
-    log(f"warm (compile + heap prefault + full pass): {time.time() - t0:.1f}s")
+    t_pass = time.time() - t0
+    log(f"warm: corpus {t_corpus:.1f}s + heap {t_heap:.1f}s + "
+        f"device-prep {t_prep:.1f}s + full-pass {t_pass:.1f}s "
+        f"= {t_corpus + t_heap + t_prep + t_pass:.1f}s")
 
-    t_enc = float("inf")
-    for _ in range(2):   # best-of-2: host timings jitter on this VM
+    def median(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    runs = []
+    for _ in range(3):   # median-of-3: host timings jitter on this VM
         t0 = time.time()
         comp = eng.compress(data, level)
-        t_enc = min(t_enc, time.time() - t0)
+        runs.append(time.time() - t0)
+    t_enc = median(runs)
     log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
-        f"(ratio {len(data) / len(comp):.2f}:1)")
+        f"(ratio {len(data) / len(comp):.2f}:1; runs "
+        f"{' '.join(f'{r:.2f}' for r in sorted(runs))})")
 
-    t_dec = float("inf")
-    for _ in range(2):   # best-of-2: host timings jitter on this VM
+    runs = []
+    for _ in range(3):
         t0 = time.time()
         out, _, rc = native.decompress(comp)
-        t_dec = min(t_dec, time.time() - t0)
+        runs.append(time.time() - t0)
         assert rc == 0 and out == data, "round-trip mismatch!"
-    log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s")
+    t_dec = median(runs)
+    log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s "
+        f"(runs {' '.join(f'{r:.2f}' for r in sorted(runs))})")
 
     # correctness cross-check vs stock bzip2
     import bz2

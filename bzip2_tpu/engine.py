@@ -208,7 +208,7 @@ class Engine:
     AUTO_BATCH_BYTES = 8 << 20
 
     def __init__(self, batch_size: int | None = None, mode: str | None = None,
-                 pipeline: int = 2, host_workers: int | None = None,
+                 pipeline: int = 1, host_workers: int | None = None,
                  use_device: bool = True):
         # allocator retention is an Engine-scoped policy, not an import-time
         # side effect (embedding applications keep their default glibc
@@ -236,6 +236,10 @@ class Engine:
         self.host_workers = host_workers if native_ok else 0
         self._compiled = {}
         self._slicers = {}
+        self._prepared: set[int] = set()
+        #: work-stealing scheduler telemetry (persists across streams so a
+        #: fresh stream starts with calibrated rates)
+        self._sched = {"host_done": 0, "host_time": 0.0, "dev_wall": 0.0}
 
     def _batch_size_for(self, level: int) -> int:
         if self.batch_size is not None:
@@ -266,10 +270,10 @@ class Engine:
                                       use_pallas=(
                                           bsz == self._batch_size_for(level))))
             else:
-                # only the primary batch bucket uses the pallas kernels: a
-                # second pallas-bearing executable in one process trips the
-                # tunneled runtime (observed INVALID_ARGUMENT on subsequent
-                # ops), so remainder buckets compile the pure-XLA path.
+                # every batch runs in the one primary-size executable (tails
+                # are padded with dummy lanes): a second pallas-bearing
+                # executable in one process trips the tunneled runtime, and
+                # one executable set keeps cold-start to a single compile.
                 primary = bsz == self._batch_size_for(level)
                 self._compiled[key] = (
                     jax.jit(functools.partial(encode_pre,
@@ -278,6 +282,51 @@ class Engine:
                     jax.jit(functools.partial(encode_post, n_words=W)),
                 )
         return self._compiled[key]
+
+    def prepare(self, level: int) -> None:
+        """Warm-compile the batch executables for ``level`` with the three
+        stage compiles issued from parallel threads.  Compilation on the
+        tunneled backend is mostly server-side (measured ~20s local CPU of
+        an ~80s wall compile), so overlapping the stages — and any host
+        workers — hides most of the cold-start.  No-op once compiled."""
+        if self.mode == "fused" or not self.use_device:
+            return
+        if level in self._prepared:
+            return
+        import threading
+
+        bsz = self._batch_size_for(level)
+        N = _block_pad_size(level)
+        f_pre, f_iter, f_post = self._fns(level, bsz)
+
+        arr = jnp.zeros((bsz, N), jnp.uint8)
+        ns = jnp.ones((bsz,), jnp.int32)
+        uses = jnp.zeros((bsz, 256), bool).at[:, 0].set(True)
+        pre_args = (arr, ns, uses)
+        # derive the exact inter-stage shapes without compiling
+        (mtfv_s, n_mtf_s, n_in_use_s, orig_s, n_groups_s, lens0_s, hist_s,
+         inval_s) = jax.eval_shape(f_pre, *pre_args)
+
+        def z(s, fill=0):
+            return jnp.full(s.shape, fill, s.dtype)
+
+        hist, lens, inval = z(hist_s), z(lens0_s, 15), z(inval_s)
+        sel_s, _freq_s = jax.eval_shape(f_iter, hist, lens, inval)
+        post_args = (z(mtfv_s), z(n_mtf_s, 1), z(n_in_use_s, 1), uses,
+                     jnp.zeros((bsz,), jnp.uint32), z(orig_s),
+                     z(n_groups_s, 2), z(sel_s), lens)
+
+        def warm(f, args):
+            return lambda: jax.block_until_ready(f(*args))
+
+        threads = [threading.Thread(target=t)
+                   for t in (warm(f_pre, pre_args), warm(f_iter, (hist, lens, inval)),
+                             warm(f_post, post_args))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        self._prepared.add(level)
 
     def _encode_batch(self, level, arr, ns, uses, crcs):
         """Run one device batch; returns (words_np, nbits_np) with words
@@ -296,6 +345,7 @@ class Engine:
                               "recompiling on the XLA path\n")
             _mtf.set_pallas_enabled(False)
             self._compiled.clear()
+            self._prepared.clear()
             return self._encode_batch_inner(level, arr, ns, uses, crcs)
 
     def _encode_batch_inner(self, level, arr, ns, uses, crcs):
@@ -342,13 +392,30 @@ class Engine:
 
         results: list = [None] * L
         lock = threading.Lock()
-        state = {"lo": 0, "hi": L}
+        state = {"lo": 0, "hi": L, "dev_inflight": 0}
+        sched = self._sched  # measured rates, persisted across calls
 
         def claim_front():
+            """Device batch claim.  Adaptive tail handoff: once both rates
+            are known, the device declines a batch whenever the host pool
+            alone would finish the remainder sooner than the device's
+            backlog (in-flight batches serialize on the one chip) plus this
+            batch — otherwise a late-started device batch gates the whole
+            stream while the host sits idle."""
             with lock:
-                take = min(bsz, state["hi"] - state["lo"])
+                remaining = state["hi"] - state["lo"]
+                if (remaining > 0 and host_threads and sched["dev_wall"]
+                        and sched["host_done"] >= 3):
+                    host_rate = (sched["host_done"] / sched["host_time"]
+                                 * len(host_threads))
+                    backlog = (state["dev_inflight"] + 1) * sched["dev_wall"]
+                    if remaining <= host_rate * backlog * 0.9:
+                        return 0, 0
+                take = min(bsz, remaining)
                 s = state["lo"]
                 state["lo"] += take
+                if take:
+                    state["dev_inflight"] += 1
                 return s, take
 
         def claim_back():
@@ -370,10 +437,11 @@ class Engine:
 
         def run_batch(s, take):
             chunk = blocks[s:s + take]
-            # remainder batches run in a right-sized power-of-2 bucket so a
-            # small tail doesn't pay a full-batch executable
-            pad_to = (bsz if take == bsz
-                      else min(bsz, 1 << (take - 1).bit_length()))
+            # tail batches are padded with dummy lanes into the one
+            # primary-size executable: a cold start pays exactly one
+            # (pre, iter, post) compile set, and the host workers usually
+            # steal the tail before the device reaches it anyway
+            pad_to = bsz
             arr = np.zeros((pad_to, N), np.uint8)
             ns = np.ones(pad_to, np.int32)
             uses = np.zeros((pad_to, 256), bool)
@@ -384,8 +452,17 @@ class Engine:
                 ns[j] = blk.data.size
                 uses[j] = blk.in_use
                 crcs[j] = blk.crc
+            import time as _time
+            t0 = _time.time()
             with tracing.span(f"batch[{s}:{s + take}]"):
                 words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
+            wall = _time.time() - t0
+            with lock:
+                # EWMA of the device batch wall (queued batches report their
+                # wait too, which overestimates — conservative for handoff)
+                sched["dev_wall"] = (wall if not sched["dev_wall"]
+                                     else 0.5 * sched["dev_wall"] + 0.5 * wall)
+                state["dev_inflight"] -= 1
             for j in range(take):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]
@@ -406,6 +483,8 @@ class Engine:
                 errors.append(e)
 
         def host_worker():
+            import time as _time
+
             from . import native
             try:
                 while not errors:
@@ -413,8 +492,13 @@ class Engine:
                     if k < 0:
                         return
                     blk = blocks[k]
+                    t0 = _time.time()
                     payload, nbits = native.encode_block(blk.data,
                                                          blk.in_use, blk.crc)
+                    dt = _time.time() - t0
+                    with lock:
+                        sched["host_done"] += 1
+                        sched["host_time"] += dt
                     results[k] = (np.frombuffer(payload, np.uint8), nbits)
                     record_block(k, nbits)
             except BaseException as e:  # noqa: BLE001
@@ -440,12 +524,20 @@ class Engine:
                                    "encoder")
             host_worker()   # main thread joins the host pool
 
-        # warm the compile cache single-threaded, then fan out
+        # warm the compile caches (stage compiles issued in parallel and
+        # overlapped with the already-running host workers), then fan out
         if self.use_device:
             try:
-                s, take = claim_front()
-                if take:
-                    run_batch(s, take)
+                self.prepare(level)
+            except jax.errors.JaxRuntimeError:
+                from .ops import mtf as _mtf
+                if _mtf.pallas_enabled():
+                    _mtf.set_pallas_enabled(False)
+                    self._compiled.clear()
+                    self._prepared.clear()
+                    self.prepare(level)
+                else:
+                    raise
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)
         if self.use_device and not errors:

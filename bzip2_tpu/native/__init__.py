@@ -44,6 +44,11 @@ def _load():
     lib.bz2tpu_free.argtypes = [ct.c_void_p]
     lib.bz2tpu_set_rnums.restype = None
     lib.bz2tpu_set_rnums.argtypes = [ct.c_void_p]
+    lib.bz2tpu_parse_block.restype = ct.c_int32
+    lib.bz2tpu_parse_block.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_int64, ct.c_int32,
+        ct.c_void_p, ct.c_void_p, ct.POINTER(ct.c_uint32), ct.c_void_p,
+        ct.c_void_p, ct.c_void_p, ct.c_void_p]
     lib.bz2tpu_rle1_split.restype = ct.c_int64
     lib.bz2tpu_rle1_split.argtypes = [
         ct.c_void_p, ct.c_int64, ct.c_int32, ct.c_void_p, ct.c_void_p,
@@ -141,6 +146,54 @@ def make_code_lengths_batch(freqs: np.ndarray, alphas: np.ndarray,
         np.int32(freqs.shape[0]), np.int32(max_len),
         out.ctypes.data_as(ct.c_void_p))
     return out
+
+
+class ParsedBlock:
+    """Header + light-scan metadata for one block (bz2tpu_parse_block):
+    the host half of the TPU decode path.  Fields mirror the C export."""
+
+    __slots__ = ("n_used", "n_groups", "n_selectors", "orig_ptr",
+                 "randomised", "n_mtf", "n_groups_used", "sym_start_bit",
+                 "end_bit", "stored_crc", "used", "selectors", "lens",
+                 "group_offsets")
+
+
+def parse_block(data, start_bit: int, level: int):
+    """Parse one block header at ``start_bit`` (the 48-bit magic) and
+    light-scan its symbol stream.  Returns (ParsedBlock, BZT_OK) or
+    (None, errcode)."""
+    lib = _load()
+    buf = np.ascontiguousarray(
+        np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray)
+        else data)
+    hdr_i32 = np.zeros(7, np.int32)
+    hdr_i64 = np.zeros(2, np.int64)
+    crc_out = ct.c_uint32()
+    used = np.zeros(256, np.uint8)
+    selectors = np.zeros(18002, np.uint8)
+    lens = np.zeros((6, 258), np.uint8)
+    goff = np.zeros(18002, np.int64)
+    rc = lib.bz2tpu_parse_block(
+        buf.ctypes.data_as(ct.c_void_p), buf.size, start_bit,
+        np.int32(100_000 * level),
+        hdr_i32.ctypes.data_as(ct.c_void_p),
+        hdr_i64.ctypes.data_as(ct.c_void_p), ct.byref(crc_out),
+        used.ctypes.data_as(ct.c_void_p),
+        selectors.ctypes.data_as(ct.c_void_p),
+        lens.ctypes.data_as(ct.c_void_p),
+        goff.ctypes.data_as(ct.c_void_p))
+    if rc != BZT_OK:
+        return None, rc
+    pb = ParsedBlock()
+    (pb.n_used, pb.n_groups, pb.n_selectors, pb.orig_ptr, pb.randomised,
+     pb.n_mtf, pb.n_groups_used) = (int(x) for x in hdr_i32)
+    pb.sym_start_bit, pb.end_bit = (int(x) for x in hdr_i64)
+    pb.stored_crc = int(crc_out.value)
+    pb.used = used.astype(bool)
+    pb.selectors = selectors[:pb.n_selectors].astype(np.int32)
+    pb.lens = lens
+    pb.group_offsets = goff[:pb.n_groups_used]
+    return pb, rc
 
 
 # error code -> exception mapping is done by the caller (api/file layers)

@@ -467,6 +467,164 @@ static i32 decode_block_symbols(BitRd& br, i32 max_block, u8* blk,
   return BZT_OK;
 }
 
+// ---------------------------------------------------- device-decode export --
+// Parse one block's header (start_bit at the 48-bit block magic) and
+// light-scan the symbol stream (code-length chase only — no MTF, no
+// output): everything the TPU decode path (bzip2_tpu/decoder.py) needs to
+// run the heavy stages on device.  Wire semantics mirror the full decoder
+// above (reference: decompress.c:281-473 header/tables; GET_MTF_VAL's
+// length chase :103-228 without its value side).
+//
+// Outputs:
+//   hdr_i32: [n_used, n_groups, n_selectors, orig_ptr, randomised, n_mtf,
+//             n_groups_used]                                    (7 x i32)
+//   hdr_i64: [sym_start_bit, end_bit]                           (2 x i64)
+//   crc_out: stored block CRC
+//   used_out[256] 0/1; selectors_out[18002] un-MTF'd group ids;
+//   lens_out[6*258] code lengths; goff_out[18002] absolute bit offset of
+//   each 50-symbol group's first code.
+// Returns BZT_OK or a negative BZT_* error.
+i32 bz2tpu_parse_block(const u8* data, i64 len, i64 start_bit, i32 max_block,
+                       i32* hdr_i32, i64* hdr_i64, u32* crc_out, u8* used_out,
+                       u8* selectors_out, u8* lens_out, i64* goff_out) {
+  BitRd br{data + (start_bit >> 3), data + len};
+  if (start_bit & 7) { br.fill(); br.drop((int)(start_bit & 7)); }
+  u32 mag_hi, mag_lo;
+  GET(mag_hi, 24); GET(mag_lo, 24);
+  if (mag_hi != 0x314159u || mag_lo != 0x265359u) return BZT_DATA_ERROR_MAGIC;
+  u32 stored_crc, w;
+  GET(stored_crc, 16); GET(w, 16);
+  stored_crc = (stored_crc << 16) | w;
+  u32 randomised; GET(randomised, 1);
+  if (randomised && !g_rnums_set) return BZT_DATA_ERROR;
+  u32 orig_ptr; GET(orig_ptr, 24);
+  if ((i32)orig_ptr > max_block) return BZT_DATA_ERROR;
+
+  memset(used_out, 0, 256);
+  u8 used[256];
+  i32 n_used = 0;
+  u32 gmask; GET(gmask, 16);
+  for (i32 gi = 0; gi < 16; gi++) {
+    if (gmask & (0x8000u >> gi)) {
+      u32 bits; GET(bits, 16);
+      for (i32 j = 0; j < 16; j++)
+        if (bits & (0x8000u >> j)) {
+          used[n_used++] = (u8)(gi * 16 + j);
+          used_out[gi * 16 + j] = 1;
+        }
+    }
+  }
+  if (n_used == 0) return BZT_DATA_ERROR;
+  i32 alpha = n_used + 2, eob = n_used + 1;
+
+  u32 n_groups, n_selectors;
+  GET(n_groups, 3); GET(n_selectors, 15);
+  if (n_groups < 2 || n_groups > 6) return BZT_DATA_ERROR;
+  if (n_selectors < 1 || n_selectors > 18002) return BZT_DATA_ERROR;
+
+  for (u32 i = 0; i < n_selectors; i++) {
+    i32 v = 0;
+    for (;;) {
+      u32 b; GET(b, 1);
+      if (!b) break;
+      if (++v >= (i32)n_groups) return BZT_DATA_ERROR;
+    }
+    selectors_out[i] = (u8)v;
+  }
+  {
+    u8 pos[6] = {0, 1, 2, 3, 4, 5};
+    for (u32 i = 0; i < n_selectors; i++) {
+      i32 v = selectors_out[i];
+      u8 tmp = pos[v];
+      for (; v > 0; v--) pos[v] = pos[v - 1];
+      pos[0] = tmp;
+      selectors_out[i] = tmp;
+    }
+  }
+
+  Group groups[6];
+  memset(lens_out, 0, 6 * 258);
+  for (u32 t = 0; t < n_groups; t++) {
+    u32 curr; GET(curr, 5);
+    u8* lens = lens_out + t * 258;
+    for (i32 v = 0; v < alpha; v++) {
+      for (;;) {
+        if (curr < 1 || curr > 20) return BZT_DATA_ERROR;
+        u32 b; GET(b, 1);
+        if (!b) break;
+        u32 d; GET(d, 1);
+        curr += d ? -1 : 1;
+      }
+      lens[v] = (u8)curr;
+    }
+    if (!build_group(groups[t], lens, alpha)) return BZT_DATA_ERROR;
+  }
+
+  i64 sym_start = br.bit_pos(data);
+  i64 n_mtf = 0;
+  i64 n_out = 0;     // decoded block bytes (validation only)
+  i64 run = 0;
+  i32 run_bit = 0;
+  i32 group_no = -1, group_pos = 0;
+  Group* gr = nullptr;
+  for (;;) {
+    if (group_pos == 0) {
+      if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
+      goff_out[group_no] = br.bit_pos(data);
+      gr = &groups[selectors_out[group_no]];
+      group_pos = 50;
+    }
+    group_pos--;
+    i32 sym;
+    {
+      u32 v = br.peek(Group::FAST_BITS);
+      i32 f = gr->fast[v];
+      if (f >= 0 && br.have(f & 31)) {
+        sym = f >> 5;
+        br.drop(f & 31);
+      } else {
+        i32 l = gr->min_len;
+        NEED(l);
+        i32 code = br.peek(l);
+        while (code > gr->limit[l]) {
+          if (l >= gr->max_len) return BZT_DATA_ERROR;
+          l++;
+          NEED(l);
+          code = br.peek(l);
+        }
+        br.drop(l);
+        sym = gr->perm[code - gr->base[l]];
+      }
+    }
+    n_mtf++;
+    if (sym <= 1) {
+      if (run_bit >= 31) return BZT_DATA_ERROR;
+      run += (i64)(sym + 1) << run_bit;
+      run_bit++;
+      continue;
+    }
+    n_out += run;
+    run = 0; run_bit = 0;
+    if (sym == eob) break;
+    n_out++;
+    if (n_out > max_block) return BZT_DATA_ERROR;
+  }
+  if (n_out == 0 || n_out > max_block || (i64)orig_ptr >= n_out)
+    return BZT_DATA_ERROR;
+
+  hdr_i32[0] = n_used;
+  hdr_i32[1] = (i32)n_groups;
+  hdr_i32[2] = (i32)n_selectors;
+  hdr_i32[3] = (i32)orig_ptr;
+  hdr_i32[4] = (i32)randomised;
+  hdr_i32[5] = (i32)n_mtf;
+  hdr_i32[6] = group_no + 1;
+  hdr_i64[0] = sym_start;
+  hdr_i64[1] = br.bit_pos(data);
+  *crc_out = stored_crc;
+  return BZT_OK;
+}
+
 // inverse BWT: stable counting order with char + successor fused into one
 // u32 per entry (one random access per output byte; the reference's
 // composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444),

@@ -1,0 +1,305 @@
+"""Device block decode: batched Huffman symbol decode, MTF^-1, RLE2
+expansion and inverse BWT as XLA programs.
+
+The reference decodes a block with one bit-serial coroutine
+(decompress.c:476-664 symbol loop, :767-790 + bzlib_private.h:442-444
+inverse BWT).  The TPU formulation splits it into data-parallel stages:
+
+* **Symbol decode** — the host light-scan (native bz2tpu_parse_block)
+  provides each 50-symbol group's start bit offset, which removes the
+  serial bit dependency ACROSS groups; every group then decodes its 50
+  symbols in parallel lanes (B x 18002).  Code lengths come from a
+  vectorized canonical-code compare against per-length limits
+  (huffman.c:180-236's limit/base tables, evaluated as a 23-wide VPU
+  compare instead of a lookup chase); symbols from one perm-table gather.
+* **MTF^-1** — a `lax.scan` over symbols carrying the 256-entry list per
+  block lane; U symbols are unrolled per scan step to amortize step
+  overhead.  The scan also records the list front per symbol, which is
+  exactly the byte a RUNA/RUNB zero-run repeats.
+* **RLE2 expansion** — run lengths from the bijective-base-2 digits by
+  segmented arithmetic (no scan), output offsets by prefix sum, and a
+  scatter + running-max fill builds the BWT last column.
+* **Inverse BWT** — successor array from one stable sort (the tt
+  permutation, decompress.c:767-790), then a splitter walk: S walkers per
+  block start at evenly spaced positions and chase the permutation
+  concurrently, so the serial chain depth drops from n to ~n/S; segments
+  are reordered by rank and regathered.  Walkers that exceed the step cap
+  (adversarially skewed cycles) flag the lane for the host fallback.
+
+All shapes are static; corrupt input degrades to wrong bytes, never to
+out-of-bounds access — the orchestrator (bzip2_tpu/decoder.py) validates
+both CRC layers and falls back to the host decoder per block.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+MAX_GROUPS = 18002
+G_SIZE = 50
+MTF_UNROLL = 8
+
+
+# --------------------------------------------------------------- tables ---
+
+def build_tables_np(lens: np.ndarray, alpha: int):
+    """Host-side canonical decode tables from code lengths (one block).
+
+    lens: (6, 258) uint8 (unused tables all-zero).  Returns
+    (limit (6,23) i32 with -1 at invalid lengths, base (6,23) i32,
+    perm (6,258) i32) — limit[t, l-1] is the largest code of length l
+    (huffman.c:180-236 semantics; validation happened in the native
+    parse)."""
+    limit = np.full((6, 23), -1, np.int32)
+    base = np.zeros((6, 23), np.int32)
+    perm = np.zeros((6, 258), np.int32)
+    for t in range(6):
+        tl = lens[t, :alpha].astype(np.int32)
+        if not tl.any():
+            continue
+        min_len, max_len = int(tl.min()), int(tl.max())
+        cnt = np.bincount(tl, minlength=25)
+        order = np.argsort(tl, kind="stable")
+        perm[t, :alpha] = order
+        code = 0
+        total = 0
+        for l in range(min_len, max_len + 1):
+            base[t, l - 1] = code - total
+            code += int(cnt[l])
+            total += int(cnt[l])
+            limit[t, l - 1] = code - 1
+            code <<= 1
+    return limit, base, perm
+
+
+# -------------------------------------------------------- symbol decode ---
+
+def decode_symbols(words, goff, gsel, gvalid, limit6, base6, perm6):
+    """words (B,W) u32; goff/gsel (B,G) i32; gvalid (B,G) bool;
+    limit6/base6 (B,6,23) i32; perm6 (B,6,258) i32.
+    Returns syms (B, G*50) i32 in stream order (garbage in invalid
+    lanes)."""
+    B, W = words.shape
+    G = goff.shape[1]
+    larange = jnp.arange(1, 24, dtype=jnp.int32)          # code lengths
+
+    # per-lane limit/base rows via 6-way select (no gather)
+    def lane_rows(tab6):
+        out = jnp.zeros((B, G, 23), jnp.int32)
+        for t in range(6):
+            out = jnp.where((gsel == t)[:, :, None], tab6[:, t][:, None, :],
+                            out)
+        return out
+
+    glimit = lane_rows(limit6)
+    gbase = lane_rows(base6)
+    perm_flat = perm6.reshape(B, 6 * 258)
+
+    def step(off, _):
+        wi = jnp.clip(off >> 5, 0, W - 1)
+        sh = (off & 31).astype(jnp.uint32)
+        w0 = jnp.take_along_axis(words, wi, axis=1)
+        w1 = jnp.take_along_axis(words, jnp.minimum(wi + 1, W - 1), axis=1)
+        w = (w0 << sh) | jnp.where(sh > 0, w1 >> (32 - sh), 0)
+        codes = (w[:, :, None] >> (32 - larange).astype(jnp.uint32)
+                 ).astype(jnp.int32)                       # (B,G,23)
+        ok = codes <= glimit
+        lenm = jnp.min(jnp.where(ok, larange, 99), axis=-1)
+        lenc = jnp.minimum(lenm, 23)
+        code = (w >> (32 - lenc).astype(jnp.uint32)).astype(jnp.int32)
+        base_l = jnp.take_along_axis(gbase, (lenc - 1)[:, :, None],
+                                     axis=2)[:, :, 0]
+        pidx = jnp.clip(code - base_l, 0, 257)
+        sym = jnp.take_along_axis(perm_flat, gsel * 258 + pidx, axis=1)
+        off2 = off + jnp.where(gvalid & (lenm < 99), lenm, 0)
+        return off2, sym.astype(jnp.int16)
+
+    _, syms = lax.scan(step, goff, None, length=G_SIZE)    # (50, B, G)
+    return jnp.transpose(syms, (1, 2, 0)).reshape(B, G * G_SIZE
+                                                  ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------- MTF^-1 ---
+
+def mtf_inverse(syms, used_list, n_used, n_mtf):
+    """syms (B,M) i32; used_list (B,256) i32 initial MTF list (padded 0);
+    n_used/n_mtf (B,) i32.  Returns vals (B,M) i32: the decoded byte per
+    symbol (for RUNA/RUNB, the byte the zero-run repeats)."""
+    B, M = syms.shape
+    U = MTF_UNROLL
+    Mp = -(-M // U) * U
+    syms_p = jnp.pad(syms, ((0, 0), (0, Mp - M)),
+                     constant_values=10_000)               # no-op symbols
+    xs = syms_p.reshape(B, Mp // U, U).transpose(1, 0, 2)  # (steps, B, U)
+    j256 = jnp.arange(256, dtype=jnp.int32)
+
+    def one(lst, s):
+        r = jnp.clip(s - 1, 0, 255)
+        v = jnp.take_along_axis(lst, r[:, None], axis=1)[:, 0]
+        out = jnp.where(s <= 1, lst[:, 0], v)
+        upd = (s >= 2) & (s <= n_used)
+        shifted = jnp.concatenate([v[:, None], lst[:, :-1]], axis=1)
+        lst = jnp.where(upd[:, None] & (j256[None, :] <= r[:, None]),
+                        shifted, lst)
+        return lst, out
+
+    def step(lst, su):
+        outs = []
+        for u in range(U):
+            lst, o = one(lst, su[:, u])
+            outs.append(o)
+        return lst, jnp.stack(outs, axis=1)               # (B, U)
+
+    _, vals = lax.scan(step, used_list, xs)               # (steps, B, U)
+    return vals.transpose(1, 0, 2).reshape(B, Mp)[:, :M]
+
+
+# ------------------------------------------------- RLE2 + BWT last column ---
+
+def rle2_expand(syms, vals, n_used, n_mtf, N):
+    """Build the BWT last column: syms/vals (B,M); returns
+    (last (B,N) i32 with 0 padding, n_out (B,) i32)."""
+    B, M = syms.shape
+    idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+    valid = idx < n_mtf[:, None]
+    isz = (syms <= 1) & valid
+    seg_start = isz & jnp.concatenate(
+        [jnp.ones((B, 1), bool), ~isz[:, :-1]], axis=1)
+    run_base = lax.cummax(jnp.where(seg_start, idx, 0), axis=1)
+    k = jnp.clip(idx - run_base, 0, 30)
+    cnt = jnp.where(isz, (syms + 1) << k,
+                    jnp.where(valid & (syms >= 2) & (syms <= n_used), 1, 0))
+    offs = jnp.cumsum(cnt, axis=1) - cnt                   # exclusive
+    n_out = jnp.sum(cnt, axis=1)
+    emit = cnt > 0
+    packed = jnp.where(emit, ((idx + 1) << 8) | (vals & 0xFF), 0)
+    br = jnp.arange(B, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(emit, jnp.clip(offs, 0, N - 1), N)
+    blk = jnp.zeros((B, N + 1), jnp.int32).at[br, tgt].set(packed)[:, :N]
+    filled = lax.cummax(blk, axis=1)
+    return filled & 0xFF, n_out
+
+
+# ----------------------------------------------------------- inverse BWT ---
+
+WALK_WAVES = 3
+
+
+def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
+    """last (B,N) i32; n_out (B,); orig_ptr (B,).  Returns
+    (out (B,N) i32 decoded post-RLE1 bytes, ok (B,) bool — False when a
+    walker exceeded the step cap and the lane needs the host fallback).
+
+    Successor array from one stable sort; then S evenly spaced splitter
+    positions — plus the true start position seq_0 = A[orig_ptr] as a
+    forced splitter (walker S) — cut the permutation cycle into segments
+    walked concurrently over WALK_WAVES waves of ``cap`` steps.  Segment
+    ranks come from chasing the splitter-successor graph from walker S on
+    device; the final reorder is a scatter of segment-start marks + a
+    running max, then one gather.  Lanes whose walkers exceed every wave
+    cap (adversarially skewed cycles) flag ``ok`` False."""
+    B, N = last.shape
+    S = n_walkers
+    SW = S + 1                                             # + seq_0 walker
+    br = jnp.arange(B, dtype=jnp.int32)[:, None]
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    n = jnp.maximum(n_out, 1)[:, None]                     # (B,1)
+
+    key = jnp.where(idx < n, last, 1 << 20)
+    _, A = lax.sort((key, jnp.broadcast_to(idx, (B, N))), dimension=1,
+                    is_stable=True, num_keys=1)            # successor map
+
+    start_pos = jnp.take_along_axis(A, orig_ptr[:, None], axis=1)  # (B,1)
+
+    # splitters p_j = floor(j*n/S) for j < S, deduplicated when n < S and
+    # against the forced seq_0 splitter
+    j_s = jnp.arange(SW, dtype=jnp.int32)[None, :]
+    p_reg = (j_s[:, :S] * n) // S
+    p_j = jnp.concatenate([p_reg, start_pos], axis=1)      # (B, SW)
+    w_valid = jnp.concatenate(
+        [jnp.ones((B, 1), bool), p_reg[:, 1:] != p_reg[:, :-1],
+         jnp.ones((B, 1), bool)], axis=1)
+    w_valid = w_valid & ((j_s == S) | (p_j != start_pos))
+
+    def splitter_id(q):
+        """Walker id whose segment starts at q, or -1.  The forced seq_0
+        splitter takes priority; regular ids by closed-form inversion of
+        p_j = floor(j*n/S)."""
+        jq = (q * S + n - 1) // n
+        hit = (jq < S) & ((jq * n) // S == q)
+        sid = jnp.where(hit, jq, -1)
+        return jnp.where(q == start_pos, S, sid)
+
+    cap = cap_factor * (N // S + 1)
+
+    def wave(cur):
+        """cur (B,SW) positions (-1 idle) -> (chars (B,SW,cap) u8,
+        cnt (B,SW), hitj (B,SW), cur2 (B,SW) -1 when finished)."""
+        def wstep(carry, _):
+            cur, cnt, hitj = carry
+            active = cur >= 0
+            cc = jnp.clip(cur, 0, N - 1)
+            ch = jnp.take_along_axis(last, cc, axis=1)
+            nxt = jnp.take_along_axis(A, cc, axis=1)
+            sid = splitter_id(nxt)
+            done = active & (sid >= 0)
+            hitj = jnp.where(done, sid, hitj)
+            cnt = cnt + jnp.where(active, 1, 0)
+            cur = jnp.where(active & ~done, nxt, -1)
+            return (cur, cnt, hitj), jnp.where(active, ch, 0).astype(jnp.uint8)
+
+        (cur2, cnt, hitj), chars = lax.scan(
+            wstep, (cur, jnp.zeros((B, SW), jnp.int32),
+                    jnp.full((B, SW), -1, jnp.int32)), None, length=cap)
+        return jnp.transpose(chars, (1, 2, 0)), cnt, hitj, cur2
+
+    cur0 = jnp.where(w_valid, p_j, -1)
+    chars1, cnt1, hitj1, cur1 = wave(cur0)
+    chars2, cnt2, hitj2, cur2 = wave(cur1)   # rare long segments continue
+    chars3, cnt3, hitj3, cur3 = wave(cur2)
+    ok = ~jnp.any(cur3 >= 0, axis=1)
+
+    cnt = cnt1 + cnt2 + cnt3
+    hitj = jnp.where(hitj1 >= 0, hitj1,
+                     jnp.where(hitj2 >= 0, hitj2, hitj3))
+    hitj = jnp.where(w_valid, hitj, -1)
+
+    # segment ranks: chase the splitter cycle from walker S (seq_0)
+    def chase(carry, _):
+        j, act = carry
+        jc = jnp.clip(j, 0, SW - 1)
+        nj = jnp.take_along_axis(hitj, jc[:, None], axis=1)[:, 0]
+        act_next = act & (nj != S)         # cycle closed once back at S
+        return (nj, act_next), (jc, act)
+
+    (_, _), (order, actv) = lax.scan(
+        chase, (jnp.full((B,), S, jnp.int32), jnp.ones((B,), bool)), None,
+        length=SW)
+    order, actv = order.T, actv.T                          # (B, SW)
+    cnt_in_order = jnp.where(actv, jnp.take_along_axis(cnt, order, axis=1), 0)
+    off_in_order = jnp.cumsum(cnt_in_order, axis=1) - cnt_in_order
+    goffw = jnp.zeros((B, SW + 1), jnp.int32).at[
+        br, jnp.where(actv, order, SW)].set(off_in_order)[:, :SW]
+
+    # assemble: scatter segment-start marks, running-max fill, gather
+    mark = jnp.zeros((B, N + 1), jnp.int32).at[
+        br, jnp.where(w_valid & (cnt > 0), jnp.clip(goffw, 0, N - 1), N)
+    ].set(jnp.where(w_valid & (cnt > 0), j_s + 1, 0))[:, :N]
+    lane_of = lax.cummax(mark, axis=1) - 1                 # walker per pos
+    lane_c = jnp.clip(lane_of, 0, SW - 1)
+    pos_in = idx - jnp.take_along_axis(goffw, lane_c, axis=1)
+    c1 = jnp.take_along_axis(cnt1, lane_c, axis=1)
+    c2 = jnp.take_along_axis(cnt2, lane_c, axis=1)
+
+    def gather_wave(chars, rel):
+        flat = chars.reshape(B, SW * cap)
+        g = lane_c * cap + jnp.clip(rel, 0, cap - 1)
+        return jnp.take_along_axis(flat, g, axis=1)
+
+    out = jnp.where(
+        pos_in < c1, gather_wave(chars1, pos_in),
+        jnp.where(pos_in - c1 < c2, gather_wave(chars2, pos_in - c1),
+                  gather_wave(chars3, pos_in - c1 - c2))).astype(jnp.int32)
+    return out, ok
