@@ -158,6 +158,31 @@ def main(use_device: bool = True):
     log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s "
         f"(runs {' '.join(f'{r:.2f}' for r in sorted(runs))})")
 
+    # TPU decode path (device Huffman/MTF^-1/RLE2/IBWT/RLE1^-1/CRC;
+    # decoder.py): measured on one batch-sized slice and reported as a
+    # secondary metric.  The primary decode number above is the product's
+    # default (fastest) backend — the host runtime wins on a single chip
+    # because the inverse-BWT walk is gather-latency-bound; the device
+    # path is the pod-scale block-DP decode story.
+    if use_device and os.environ.get("BENCH_DEVICE_DECODE", "1") != "0":
+        try:
+            from bzip2_tpu.decoder import DeviceDecoder
+            ddec = DeviceDecoder()
+            dslice = data[:8 << 20]
+            dcomp = eng.compress(dslice, level)
+            t0 = time.time()
+            dout = ddec.decompress(dcomp)    # compile/load + run
+            warm_dd = time.time() - t0
+            t0 = time.time()
+            dout = ddec.decompress(dcomp)
+            t_dd = time.time() - t0
+            okdd = dout == dslice
+            log(f"device decode (TPU pipeline): {len(dslice) / 1e6 / t_dd:.2f} "
+                f"MB/s on {len(dslice) / 1e6:.0f} MB (bit-exact={okdd}; "
+                f"warm {warm_dd:.1f}s)")
+        except Exception as e:  # noqa: BLE001 — secondary metric only
+            log(f"device decode unavailable ({type(e).__name__}: {e})")
+
     # correctness cross-check vs stock bzip2
     import bz2
     assert bz2.decompress(comp) == data

@@ -208,9 +208,18 @@ def _compress_stream(fin, fout, level, backend, small):
     return n_in, n_out
 
 
-def _decompress_stream(fin, fout, quiet, force):
+def _decompress_stream(fin, fout, quiet, force, backend=None):
     """Multi-member decode with trailing-garbage tolerance; returns
     (ok, saw_magic)."""
+    if backend in ("device", "tpu"):
+        # TPU decode path: whole-buffer batched device decode
+        data = fin.read()
+        if not data:
+            raise api.DataErrorMagic("empty input")
+        out = api.decompress(data, multi_stream=True, backend="device")
+        if fout is not None:
+            fout.write(out)
+        return True, True
     members = 0
     decomp = Decompressor()
     buffered = b""
@@ -322,7 +331,7 @@ def _run_one(opts: _Opts, name: str | None) -> int:
                 _err("I won't read compressed data from a terminal")
                 return EXIT_ENV
             sink = None if opts.op == "test" else sys.stdout.buffer
-            _decompress_stream(sys.stdin.buffer, sink, opts.quiet, opts.force)
+            _decompress_stream(sys.stdin.buffer, sink, opts.quiet, opts.force, opts.backend)
             return EXIT_OK
         st = os.stat(name)
         if st.st_nlink > 1 and not opts.force and not opts.keep and not opts.stdout:
@@ -344,13 +353,13 @@ def _run_one(opts: _Opts, name: str | None) -> int:
             return EXIT_CORRUPT
         if opts.op == "test":
             with open(name, "rb") as fin:
-                _decompress_stream(fin, None, opts.quiet, opts.force)
+                _decompress_stream(fin, None, opts.quiet, opts.force, opts.backend)
             if opts.verbosity >= 1:
                 _err(f"  {name}: ok")
             return EXIT_OK
         if opts.stdout:
             with open(name, "rb") as fin:
-                _decompress_stream(fin, sys.stdout.buffer, opts.quiet, opts.force)
+                _decompress_stream(fin, sys.stdout.buffer, opts.quiet, opts.force, opts.backend)
             return EXIT_OK
         out_name, known = _out_name_decompress(name)
         if not known and not opts.quiet:
@@ -362,7 +371,7 @@ def _run_one(opts: _Opts, name: str | None) -> int:
             return EXIT_ENV
         cleanup_path = out_name
         with open(name, "rb") as fin, fout:
-            _decompress_stream(fin, fout, opts.quiet, opts.force)
+            _decompress_stream(fin, fout, opts.quiet, opts.force, opts.backend)
         _copy_metadata(name, out_name)
         cleanup_path = None
         if opts.verbosity >= 1:

@@ -1,0 +1,247 @@
+"""TPU decode engine: batched device block decode with host light-parse.
+
+Mirrors the encode Engine's architecture on the decompress side
+(reference: BZ2_decompress, decompress.c:232-866, re-staged for the TPU;
+stage kernels in ops/decode.py):
+
+  host   stream walk + per-block light parse (native bz2tpu_parse_block:
+         header fields, tables, selectors, per-50-symbol-group bit
+         offsets — the bit-serial, tiny part)
+  device Huffman symbol decode (group-parallel canonical-code compare)
+         -> MTF^-1 (unrolled list scan) -> RLE2 expansion -> inverse BWT
+         (splitter walk) -> RLE1^-1 -> CRC-32 (GF(2) fold)
+  host   ordered splice, CRC validation, EOS / combined-CRC handling
+
+Robustness contract: any lane anomaly (walker cap exceeded, RLE1 output
+over bucket, CRC mismatch, randomised legacy block, parse error) falls
+back to the native host decoder for the whole remaining stream, so
+corrupt input yields exactly the host decoder's clean error codes.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import constants as C
+from . import native
+
+#: blocks per device batch
+BATCH = 8
+#: walkers per block in the inverse-BWT splitter walk
+WALKERS = 512
+
+
+def _jit_fns(level: int, wt_words: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import decode as D
+
+    N = 100_000 * level
+    NOUT = N + N // 4 + 64
+    G = min(C.MAX_SELECTORS, 2000 * level + 2)
+
+    def pipeline(words, goff, gsel, gvalid, limit6, base6, perm6,
+                 used_list, n_used, n_mtf, orig):
+        syms = D.decode_symbols(words, goff, gsel, gvalid, limit6, base6,
+                                perm6)
+        vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
+        last, n_out = D.rle2_expand(syms, vals, n_used, n_mtf, N)
+        out, ok = D.ibwt(last, n_out, orig, WALKERS)
+        raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
+        crc = D.crc32_device(raw, out_len)
+        return raw.astype(jnp.uint8), out_len, crc, ok & fits
+
+    return jax.jit(pipeline), N, NOUT, G
+
+
+class DeviceDecoder:
+    """Batched TPU block decoder (one compiled pipeline per
+    (level, words-bucket))."""
+
+    #: word-count buckets for the shared flat bit buffer
+    WT_BUCKETS = (1 << 19, 1 << 21, 1 << 23)
+
+    def __init__(self, batch_size: int = BATCH):
+        self.batch = batch_size
+        self._fns = {}
+
+    def _fn(self, level: int, wt: int):
+        key = (level, wt)
+        if key not in self._fns:
+            self._fns[key] = _jit_fns(level, wt)
+        return self._fns[key]
+
+    # ------------------------------------------------------------------
+    def _decode_batch(self, stream: np.ndarray, level: int, pbs: list):
+        """Decode a list of ParsedBlock on device; returns list of bytes
+        or None (lane needs host fallback)."""
+        import jax.numpy as jnp
+
+        from .ops import decode as D
+
+        B = self.batch
+        # shared flat word buffer: one contiguous byte span covering all
+        # blocks in the batch (they are adjacent in the stream)
+        bit0 = min(pb.sym_start_bit for pb in pbs)
+        bit1 = max(pb.end_bit for pb in pbs)
+        wbase = bit0 // 32
+        wend = (bit1 + 31) // 32 + 1
+        need = wend - wbase
+        wt = next((b for b in self.WT_BUCKETS if b >= need), None)
+        if wt is None:
+            return None
+        fn, N, NOUT, G = self._fn(level, wt)
+
+        span = stream[wbase * 4: min(wend * 4, stream.size)]
+        wbytes = np.zeros(wt * 4, np.uint8)
+        wbytes[: span.size] = span
+        words_np = wbytes.view(">u4").astype(np.uint32)
+
+        goff = np.zeros((B, G), np.int32)
+        gsel = np.zeros((B, G), np.int32)
+        gvalid = np.zeros((B, G), bool)
+        limit6 = np.full((B, 6, 23), -1, np.int32)
+        base6 = np.zeros((B, 6, 23), np.int32)
+        perm6 = np.zeros((B, 6, 258), np.int32)
+        used_list = np.zeros((B, 256), np.int32)
+        n_used = np.ones(B, np.int32)
+        n_mtf = np.ones(B, np.int32)
+        orig = np.zeros(B, np.int32)
+
+        for i, pb in enumerate(pbs):
+            g = pb.n_groups_used
+            if g > G:
+                return None
+            goff[i, :g] = pb.group_offsets - wbase * 32
+            gsel[i, :g] = pb.selectors[:g]
+            gvalid[i, :g] = True
+            l, b, p = D.build_tables_np(pb.lens, pb.n_used + 2)
+            limit6[i], base6[i], perm6[i] = l, b, p
+            ul = np.flatnonzero(pb.used)
+            used_list[i, : ul.size] = ul
+            n_used[i] = pb.n_used
+            n_mtf[i] = pb.n_mtf
+            orig[i] = pb.orig_ptr
+
+        raw, out_len, crc, ok = fn(
+            jnp.asarray(words_np), jnp.asarray(goff), jnp.asarray(gsel),
+            jnp.asarray(gvalid), jnp.asarray(limit6), jnp.asarray(base6),
+            jnp.asarray(perm6), jnp.asarray(used_list), jnp.asarray(n_used),
+            jnp.asarray(n_mtf), jnp.asarray(orig))
+        raw = np.asarray(raw)
+        out_len = np.asarray(out_len)
+        crc = np.asarray(crc)
+        ok = np.asarray(ok)
+
+        outs = []
+        for i, pb in enumerate(pbs):
+            if not bool(ok[i]) or int(crc[i]) != pb.stored_crc:
+                outs.append(None)
+            else:
+                outs.append(raw[i, : int(out_len[i])].tobytes())
+        return outs
+
+    # ------------------------------------------------------------------
+    def decompress(self, data) -> bytes:
+        """One-shot decode of a (possibly multi-member) .bz2 stream on
+        the device path, with whole-stream host fallback on any anomaly."""
+        buf = np.frombuffer(bytes(data), np.uint8)
+        out, _consumed = self._decompress_stream(buf)
+        if out is None:
+            res, _, rc = native.decompress(bytes(data), multi_stream=True)
+            if res is None:
+                from .api import DataError
+                raise DataError(f"corrupt stream (rc={rc})")
+            return res
+        return out
+
+    def _decompress_stream(self, buf: np.ndarray):
+        """Returns (bytes, consumed_bytes) or (None, 0) => host fallback."""
+        parts = []
+        pos_bit = 0
+        total = buf.size * 8
+        while True:
+            # stream header
+            if total - pos_bit < 32:
+                return None, 0
+            hdr = bytes(buf[pos_bit // 8: pos_bit // 8 + 4])
+            if (pos_bit % 8 or hdr[:3] != b"BZh"
+                    or not (0x31 <= hdr[3] <= 0x39)):
+                return None, 0
+            level = hdr[3] - 0x30
+            pos_bit += 32
+            combined = 0
+            while True:
+                magic = self._peek48(buf, pos_bit)
+                if magic < 0:
+                    return None, 0
+                if magic == C.EOS_MAGIC:
+                    # stored combined CRC
+                    pos_bit += 48
+                    if total - pos_bit < 32:
+                        return None, 0
+                    stored = 0
+                    for k in range(32):
+                        byte_i = (pos_bit + k) // 8
+                        bit = (int(buf[byte_i]) >> (7 - (pos_bit + k) % 8)) & 1
+                        stored = (stored << 1) | bit
+                    pos_bit += 32
+                    if stored != combined:
+                        return None, 0
+                    break
+                if magic != C.BLOCK_MAGIC:
+                    return None, 0
+                # parse up to BATCH blocks ahead
+                pbs = []
+                while len(pbs) < self.batch:
+                    pb, rc = native.parse_block(buf, pos_bit, level)
+                    if pb is None:
+                        if pbs:
+                            break
+                        return None, 0
+                    if pb.randomised:
+                        return None, 0      # legacy path: host decoder
+                    pbs.append(pb)
+                    pos_bit = pb.end_bit
+                    nxt = self._peek48(buf, pos_bit)
+                    if nxt != C.BLOCK_MAGIC:
+                        break
+                outs = self._decode_batch(buf, level, pbs)
+                if outs is None or any(o is None for o in outs):
+                    return None, 0
+                for pb, o in zip(pbs, outs):
+                    combined = (((combined << 1) | (combined >> 31))
+                                & 0xFFFFFFFF) ^ pb.stored_crc
+                    parts.append(o)
+            # byte-align and look for another member
+            pos_bit = (pos_bit + 7) // 8 * 8
+            if pos_bit // 8 + 4 <= buf.size and \
+                    bytes(buf[pos_bit // 8: pos_bit // 8 + 3]) == b"BZh":
+                continue
+            break
+        return b"".join(parts), pos_bit // 8
+
+    @staticmethod
+    def _peek48(buf: np.ndarray, bit: int) -> int:
+        if (bit + 48) > buf.size * 8:
+            return -1
+        v = 0
+        for k in range(6):
+            byte_i = (bit + 8 * k) // 8
+            sh = bit % 8
+            b0 = int(buf[byte_i]) << 8
+            b1 = int(buf[byte_i + 1]) if byte_i + 1 < buf.size else 0
+            v = (v << 8) | (((b0 | b1) >> (8 - sh)) & 0xFF)
+        return v
+
+
+_default: DeviceDecoder | None = None
+
+
+def default_decoder() -> DeviceDecoder:
+    global _default
+    if _default is None:
+        _default = DeviceDecoder()
+    return _default

@@ -77,12 +77,13 @@ def build_tables_np(lens: np.ndarray, alpha: int):
 # -------------------------------------------------------- symbol decode ---
 
 def decode_symbols(words, goff, gsel, gvalid, limit6, base6, perm6):
-    """words (B,W) u32; goff/gsel (B,G) i32; gvalid (B,G) bool;
-    limit6/base6 (B,6,23) i32; perm6 (B,6,258) i32.
+    """words: flat (WT,) u32 big-endian bit buffer shared by the whole
+    batch; goff (B,G) i32 absolute bit offsets into it; gsel (B,G) i32;
+    gvalid (B,G) bool; limit6/base6 (B,6,23) i32; perm6 (B,6,258) i32.
     Returns syms (B, G*50) i32 in stream order (garbage in invalid
     lanes)."""
-    B, W = words.shape
-    G = goff.shape[1]
+    WT = words.shape[0]
+    B, G = goff.shape
     larange = jnp.arange(1, 24, dtype=jnp.int32)          # code lengths
 
     # per-lane limit/base rows via 6-way select (no gather)
@@ -98,10 +99,10 @@ def decode_symbols(words, goff, gsel, gvalid, limit6, base6, perm6):
     perm_flat = perm6.reshape(B, 6 * 258)
 
     def step(off, _):
-        wi = jnp.clip(off >> 5, 0, W - 1)
+        wi = jnp.clip(off >> 5, 0, WT - 1)
         sh = (off & 31).astype(jnp.uint32)
-        w0 = jnp.take_along_axis(words, wi, axis=1)
-        w1 = jnp.take_along_axis(words, jnp.minimum(wi + 1, W - 1), axis=1)
+        w0 = jnp.take(words, wi, mode="clip")
+        w1 = jnp.take(words, jnp.minimum(wi + 1, WT - 1), mode="clip")
         w = (w0 << sh) | jnp.where(sh > 0, w1 >> (32 - sh), 0)
         codes = (w[:, :, None] >> (32 - larange).astype(jnp.uint32)
                  ).astype(jnp.int32)                       # (B,G,23)
@@ -170,7 +171,8 @@ def rle2_expand(syms, vals, n_used, n_mtf, N):
     run_base = lax.cummax(jnp.where(seg_start, idx, 0), axis=1)
     k = jnp.clip(idx - run_base, 0, 30)
     cnt = jnp.where(isz, (syms + 1) << k,
-                    jnp.where(valid & (syms >= 2) & (syms <= n_used), 1, 0))
+                    jnp.where(valid & (syms >= 2)
+                              & (syms <= n_used[:, None]), 1, 0))
     offs = jnp.cumsum(cnt, axis=1) - cnt                   # exclusive
     n_out = jnp.sum(cnt, axis=1)
     emit = cnt > 0
@@ -283,11 +285,15 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
     goffw = jnp.zeros((B, SW + 1), jnp.int32).at[
         br, jnp.where(actv, order, SW)].set(off_in_order)[:, :SW]
 
-    # assemble: scatter segment-start marks, running-max fill, gather
+    # assemble: scatter segment-start marks (packed with the start offset
+    # so the running max resolves to the LATEST segment start, not the
+    # largest walker id), running-max fill, gather
+    seg_live = w_valid & (cnt > 0)
     mark = jnp.zeros((B, N + 1), jnp.int32).at[
-        br, jnp.where(w_valid & (cnt > 0), jnp.clip(goffw, 0, N - 1), N)
-    ].set(jnp.where(w_valid & (cnt > 0), j_s + 1, 0))[:, :N]
-    lane_of = lax.cummax(mark, axis=1) - 1                 # walker per pos
+        br, jnp.where(seg_live, jnp.clip(goffw, 0, N - 1), N)
+    ].set(jnp.where(seg_live,
+                    (jnp.clip(goffw, 0, N - 1) << 11) | (j_s + 1), 0))[:, :N]
+    lane_of = (lax.cummax(mark, axis=1) & 0x7FF) - 1       # walker per pos
     lane_c = jnp.clip(lane_of, 0, SW - 1)
     pos_in = idx - jnp.take_along_axis(goffw, lane_c, axis=1)
     c1 = jnp.take_along_axis(cnt1, lane_c, axis=1)
@@ -303,3 +309,175 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
         jnp.where(pos_in - c1 < c2, gather_wave(chars2, pos_in - c1),
                   gather_wave(chars3, pos_in - c1 - c2))).astype(jnp.int32)
     return out, ok
+
+
+# ----------------------------------------------------- RLE1^-1 + CRC-32 ---
+
+CRC_POLY = 0x04C11DB7
+
+
+def _crc_constants():
+    """Host constants: F (8,) basis columns folded to 32 u32 (byte-feed
+    update as xor of 8 basis vectors) and the 32 squaring matrices for
+    x^(8*2^k) (each (32,) u32 rows)."""
+    # basis: contribution of input byte bit k to the next CRC state
+    basis = np.zeros(8, np.uint32)
+    for k in range(8):
+        c = np.uint32(1 << k) << 24
+        for _ in range(8):
+            c = np.uint32((c << 1) ^ CRC_POLY) if c & 0x80000000 else np.uint32(c << 1)
+        basis[k] = c
+    # shift-by-one-byte matrix M8: state -> state * x^8 mod poly
+    def mat_shift8():
+        M = np.zeros(32, np.uint32)          # M[i] = image of basis vector i
+        for i in range(32):
+            c = np.uint32(1 << i)
+            for _ in range(8):
+                c = np.uint32((c << 1) ^ CRC_POLY) if c & 0x80000000 else np.uint32(c << 1)
+            M[i] = c
+        return M
+
+    def mat_mul(A, Bm):
+        out = np.zeros(32, np.uint32)
+        for i in range(32):
+            v = A[i]
+            r = np.uint32(0)
+            for b in range(32):
+                if (v >> b) & 1:
+                    r ^= Bm[b]
+            out[i] = r
+        return out
+
+    mats = [mat_shift8()]
+    for _ in range(31):
+        mats.append(mat_mul(mats[-1], mats[-1]))
+    return basis, np.stack(mats)             # (8,), (32, 32)
+
+
+_CRC_BASIS, _CRC_POW = _crc_constants()
+
+
+def _mat_apply(vec, mat_rows):
+    """vec (...,) u32 state; mat_rows (32,) u32: out = xor of rows where
+    vec bit set."""
+    out = jnp.zeros_like(vec)
+    for b in range(32):
+        out = out ^ jnp.where((vec >> b) & 1 != 0, jnp.uint32(mat_rows[b]),
+                              jnp.uint32(0))
+    return out
+
+
+def crc32_device(data, lengths, n_lanes: int = 512):
+    """CRC-32/BZIP2 of each row of ``data`` (B, N) u8/i32, over
+    ``lengths`` (B,) bytes — computed as a GF(2)-linear fold: per-lane
+    partial CRCs (table-free byte feed: 8 basis xors per byte) combined
+    with x^(8k) matrix powers.  Returns (B,) uint32."""
+    B, N = data.shape
+    C = n_lanes
+    Lc = -(-N // C)
+    NT = C * Lc
+    # right-align the message (leading zeros are free for a zero-init CRC
+    # fold, trailing zeros are not), so every lane's shift is its static
+    # suffix (C-1-i)*Lc
+    idx = jnp.arange(NT, dtype=jnp.int32)[None, :]
+    pad = NT - lengths[:, None]
+    src = jnp.clip(idx - pad, 0, N - 1)
+    x = jnp.where(idx >= pad,
+                  jnp.take_along_axis(data.astype(jnp.int32) & 0xFF, src,
+                                      axis=1), 0).astype(jnp.uint32)
+    xs = jnp.transpose(x.reshape(B, C, Lc), (2, 0, 1))    # (Lc, B, C)
+    basis = [jnp.uint32(int(v)) for v in _CRC_BASIS]
+
+    def step(crc, byte):
+        t = (crc >> 24) ^ byte
+        nxt = crc << 8
+        for k in range(8):
+            nxt = nxt ^ jnp.where((t >> k) & 1 != 0, basis[k], jnp.uint32(0))
+        return nxt, None
+
+    lane_crc, _ = lax.scan(step, jnp.zeros((B, C), jnp.uint32), xs)
+
+    def shift_by(vec, k):
+        # vec * x^(8k): apply the precomputed squaring matrices by k's bits
+        out = vec
+        for b in range(26):                  # 8k < 2^29 bits
+            rows = _CRC_POW[b]
+            out = jnp.where((k >> b) & 1 != 0, _mat_apply(out, rows), out)
+        return out
+
+    suffix = ((C - 1 - jnp.arange(C, dtype=jnp.int32)) * Lc)[None, :]
+    shifted = shift_by(lane_crc, jnp.broadcast_to(
+        suffix.astype(jnp.uint32), (B, C)))
+    raw = lax.reduce(shifted, jnp.uint32(0), lambda a, b: a ^ b, (1,))
+    init = shift_by(jnp.full((B,), 0xFFFFFFFF, jnp.uint32),
+                    lengths.astype(jnp.uint32))
+    return ~(raw ^ init)
+
+
+def rle1_inverse(x, n, NOUT: int):
+    """Invert the RLE1 pre-pass: x (B,N) i32 post-RLE1 bytes, n (B,)
+    lengths.  Returns (out (B,NOUT) i32, out_len (B,) i32, fits (B,) bool).
+
+    A count byte is either the 5th byte of a 4-byte equal group or the
+    first byte of a maximal equal run whose predecessor run left the
+    parser count-pending; the 2-state parser FSM over maximal runs is
+    composed with an associative scan, everything else is arithmetic
+    (reference semantics: unRLE_obuf_to_output_FAST, bzlib.c:531-677)."""
+    B, N = x.shape
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    valid = idx < n[:, None]
+    xb = jnp.where(valid, x & 0xFF, -1)
+    prev = jnp.concatenate([jnp.full((B, 1), -2, jnp.int32), xb[:, :-1]],
+                           axis=1)
+    start = (xb != prev) & valid                           # run starts
+    rs = lax.cummax(jnp.where(start, idx, 0), axis=1)      # run start pos
+    r = idx - rs
+
+    # run lengths at start positions: next start's index - this start's
+    nxt_start_pos = jnp.flip(
+        lax.cummin(jnp.flip(jnp.where(start, idx, 1 << 30), axis=1), axis=1),
+        axis=1)
+    # position of the next run start strictly after idx
+    after = jnp.concatenate(
+        [nxt_start_pos[:, 1:], jnp.full((B, 1), 1 << 30, jnp.int32)], axis=1)
+    run_end = jnp.minimum(after, n[:, None])               # exclusive
+    run_len = jnp.where(start, run_end - idx, 0)
+
+    # 2-state FSM over runs: pending' = ((L - pending) % 5 == 4).  Only
+    # three transitions exist — flip (L%5==4), identity ((L-1)%5==4) and
+    # reset-to-clean (everything else) — so the prefix composition is
+    # "parity of flips since the last reset", plain cumsums + one gather
+    # (an associative_scan with a custom combine compiles pathologically
+    # on this backend).
+    flip = start & ((run_len % 5) == 4)
+    reset = start & ((run_len % 5) != 4) & (((run_len - 1) % 5) != 4)
+    flips_at = jnp.cumsum(flip.astype(jnp.int32), axis=1)  # inclusive
+    flips_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), flips_at[:, :-1]], axis=1)
+    reset_pos = lax.cummax(jnp.where(reset, idx, -1), axis=1)
+    reset_prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), reset_pos[:, :-1]], axis=1)
+    flips_at_reset = jnp.where(
+        reset_prev >= 0,
+        jnp.take_along_axis(flips_at, jnp.clip(reset_prev, 0, N - 1),
+                            axis=1), 0)
+    pending_start = (flips_prev - flips_at_reset) & 1      # at run starts
+    pending_here = jnp.take_along_axis(pending_start, rs, axis=1)
+
+    eff = r - pending_here
+    is_cnt = valid & ((pending_here == 1) & (r == 0)
+                      | ((eff >= 0) & (eff % 5 == 4)))
+    emit = jnp.where(valid, jnp.where(is_cnt, xb, 1), 0)
+    val = jnp.where(is_cnt, prev, xb)
+    offs = jnp.cumsum(emit, axis=1) - emit
+    out_len = jnp.sum(emit, axis=1)
+    fits = out_len <= NOUT
+
+    br = jnp.arange(B, dtype=jnp.int32)[:, None]
+    do = (emit > 0) & fits[:, None]
+    packed = jnp.where(do, ((idx + 1) << 8) | val, 0)
+    tgt = jnp.where(do, jnp.clip(offs, 0, NOUT - 1), NOUT)
+    out = jnp.zeros((B, NOUT + 1), jnp.int32).at[br, tgt].set(packed)[:, :NOUT]
+    filled = lax.cummax(out, axis=1)
+    covered = jnp.arange(NOUT, dtype=jnp.int32)[None, :] < out_len[:, None]
+    return jnp.where(covered, filled & 0xFF, 0), out_len, fits

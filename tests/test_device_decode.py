@@ -1,0 +1,116 @@
+"""TPU decode path (ops/decode.py + decoder.py) vs oracle and stock bzip2.
+
+Runs on the CPU platform (conftest); the same XLA programs run on the real
+chip (bench.py reports the device-decode rate).  Level 1 keeps the static
+shapes small enough to compile quickly in the suite.
+"""
+import bz2 as stdlib_bz2
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bzip2_tpu import crc as hostcrc  # noqa: E402
+from bzip2_tpu import rle1  # noqa: E402
+from bzip2_tpu.api import DataError  # noqa: E402
+from bzip2_tpu.oracle import bwt as obwt  # noqa: E402
+from bzip2_tpu.ops import decode as D  # noqa: E402
+
+
+def test_crc32_device_matches_host(rng):
+    for L in (0, 1, 63, 64, 1000, 4096):
+        msg = rng.integers(0, 256, L).astype(np.uint8)
+        pad = np.zeros((1, 4096), np.int32)
+        pad[0, :L] = msg
+        got = int(np.asarray(D.crc32_device(
+            jnp.asarray(pad), jnp.asarray([L], jnp.int32), n_lanes=16))[0])
+        assert got == hostcrc.crc32(msg.tobytes())
+
+
+def test_rle1_inverse_device(rng):
+    cases = [b"a" * 101, b"a" * 4, b"a" * 5, b"a" * 104, b"x",
+             bytes([97] * 4 + [98] * 255 + [99] * 1000)]
+    for _ in range(10):
+        L = int(rng.integers(1, 3000))
+        raw = rng.integers(0, 5, L).astype(np.uint8)
+        raw[rng.random(L) < 0.3] = 97
+        cases.append(raw.tobytes())
+    for raw in cases:
+        enc = rle1.encode_blocks(raw, 9)[0].data
+        x = np.zeros((1, 4096), np.int32)
+        x[0, :enc.size] = enc
+        out, olen, fits = D.rle1_inverse(
+            jnp.asarray(x), jnp.asarray([enc.size], jnp.int32), 4096)
+        assert bool(fits[0])
+        assert np.asarray(out)[0][:int(olen[0])].astype(
+            np.uint8).tobytes() == raw
+
+
+def test_ibwt_device_small(rng):
+    blks = [rng.integers(0, 5, int(rng.integers(2, 400))).astype(np.uint8)
+            for _ in range(6)]
+    N = 512
+    lastp = np.zeros((6, N), np.int32)
+    ns, origs = [], []
+    for i, b in enumerate(blks):
+        last, orig = obwt.bwt(b)
+        lastp[i, :b.size] = last
+        ns.append(b.size)
+        origs.append(orig)
+    out, ok = D.ibwt(jnp.asarray(lastp), jnp.asarray(ns, jnp.int32),
+                     jnp.asarray(origs, jnp.int32), n_walkers=16)
+    assert np.asarray(ok).all()
+    for i, b in enumerate(blks):
+        assert (np.asarray(out)[i][:b.size] == b).all()
+
+
+@pytest.fixture(scope="module")
+def dec():
+    from bzip2_tpu.decoder import DeviceDecoder
+    return DeviceDecoder()
+
+
+def test_device_decode_roundtrip(dec, golden):
+    data = golden[1][0]
+    comp = stdlib_bz2.compress(data, 1)
+    assert dec.decompress(comp) == data
+
+
+def test_device_decode_multiblock_multimember(dec, golden):
+    data = (golden[2][0] * 3)[:450_000]
+    comp = stdlib_bz2.compress(data, 1)
+    assert dec.decompress(comp) == data
+    comp1 = stdlib_bz2.compress(b"hello device world", 1)
+    assert dec.decompress(comp1 + comp) == b"hello device world" + data
+
+
+def test_device_decode_our_encoder(dec, golden):
+    from bzip2_tpu import api
+    data = golden[3][0]
+    comp = api.compress(data, 1)
+    assert dec.decompress(comp) == data
+
+
+def test_device_decode_corrupt_clean_error(dec, golden):
+    data = (golden[2][0])[:150_000]
+    comp = bytearray(stdlib_bz2.compress(data, 1))
+    for pos in (10, 100, 1000, len(comp) // 2, len(comp) - 5):
+        bad = bytearray(comp)
+        bad[pos] ^= 0x10
+        try:
+            out = dec.decompress(bytes(bad))
+            # a flip that still decodes must round-trip honestly
+            assert isinstance(out, bytes)
+        except DataError:
+            pass
+    with pytest.raises(DataError):
+        dec.decompress(b"not a bzip2 stream at all")
+
+
+def test_device_decode_api_and_cli_surface(dec, golden):
+    from bzip2_tpu import api
+    data = golden[1][0]
+    comp = stdlib_bz2.compress(data, 1)
+    assert api.decompress(comp, backend="device") == data
