@@ -220,6 +220,21 @@ def _decompress_stream(fin, fout, quiet, force, backend=None):
         if fout is not None:
             fout.write(out)
         return True, True
+    # block/member-grain parallel decode for regular files (the product's
+    # default -d path on real inputs; stdin and small files stream)
+    try:
+        import stat as _stat
+        st = os.fstat(fin.fileno())
+        regular = _stat.S_ISREG(st.st_mode) and st.st_size >= (1 << 20)
+    except (OSError, AttributeError, ValueError):
+        regular = False
+    if regular:
+        from .parallel.decode import decompress_parallel
+        data = fin.read()
+        out = decompress_parallel(data)
+        if fout is not None:
+            fout.write(out)
+        return True, True
     members = 0
     decomp = Decompressor()
     buffered = b""

@@ -131,3 +131,65 @@ def test_members_parallel_fuzz_bitflips():
                                      and len(out) % 30_000 == 0)
         except api.BZ2Error:
             pass
+
+
+def test_block_parallel_segment_healing():
+    """Injected false block-magic candidates must be healed per segment
+    (re-decoding only the failed span, seeded with the running combined
+    CRC) — natural 48-bit false positives are too rare to synthesize."""
+    rng = np.random.default_rng(7)
+    raw = bytes(rng.integers(97, 112, 520_000, dtype=np.uint8))
+    comp = bz2.compress(raw, 1)
+    starts = [int(o) for o in pdec.find_bit_magics(comp, pdec.BLOCK_MAGIC)
+              if o >= 32]
+    eos = [int(o) for o in pdec.find_bit_magics(comp, pdec.EOS_MAGIC)
+           if o >= 32]
+    assert len(starts) >= 5
+    # bogus candidates in the middle of several blocks' payloads
+    fakes = [starts[1] + 5000, starts[2] + 777, starts[4] + 12345]
+    cand = sorted(starts + fakes)
+    out = pdec.decompress_blocks_parallel(comp, _candidates=(cand, eos))
+    assert out == raw
+    # a fake past the last block start (heals through the EOS tail)
+    cand2 = sorted(starts + [starts[-1] + 4321])
+    assert pdec.decompress_blocks_parallel(
+        comp, _candidates=(cand2, eos)) == raw
+    # fake EOS candidate before the real one
+    assert pdec.decompress_blocks_parallel(
+        comp, _candidates=(starts, [starts[-1] + 99] + eos)) == raw
+
+
+def test_parallel_decode_10k_members(tmp_path):
+    members = [b"m%05d!" % i for i in range(10_000)]
+    stream = b"".join(bz2.compress(m, 1) for m in members)
+    out = pdec.decompress_parallel(stream)
+    assert out == b"".join(members)
+
+
+def test_cli_decode_uses_parallel_path(tmp_path, monkeypatch):
+    """CLI -d on a >1MB regular file routes through decompress_parallel."""
+    import subprocess
+    import sys
+    rng = np.random.default_rng(8)
+    raw = bytes(rng.integers(97, 120, 2_200_000, dtype=np.uint8))
+    p = tmp_path / "big.bin"
+    p.write_bytes(raw)
+    comp = tmp_path / "big.bin.bz2"
+    comp.write_bytes(bz2.compress(raw, 9))
+    called = {}
+    from bzip2_tpu.parallel import decode as _pd
+    real = _pd.decompress_parallel
+
+    def spy(data, *a, **k):
+        called["yes"] = True
+        return real(data, *a, **k)
+
+    monkeypatch.setattr(_pd, "decompress_parallel", spy)
+    from bzip2_tpu import cli as _cli
+    import io
+    out = io.BytesIO()
+    out.buffer = out
+    with open(comp, "rb") as fin:
+        ok, saw = _cli._decompress_stream(fin, out, True, False)
+    assert ok and called.get("yes")
+    assert out.getvalue() == raw
