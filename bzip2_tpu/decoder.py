@@ -125,16 +125,23 @@ class DeviceDecoder:
             n_mtf[i] = pb.n_mtf
             orig[i] = pb.orig_ptr
 
-        raw, out_len, crc, ok = fn(
+        # async dispatch: the jit call returns device futures, so the
+        # caller can overlap the NEXT batch's host parse/prep with this
+        # batch's device execution and only force the arrays at drain time
+        res = fn(
             jnp.asarray(words_np), jnp.asarray(goff), jnp.asarray(gsel),
             jnp.asarray(gvalid), jnp.asarray(limit6), jnp.asarray(base6),
             jnp.asarray(perm6), jnp.asarray(used_list), jnp.asarray(n_used),
             jnp.asarray(n_mtf), jnp.asarray(orig))
+        return res
+
+    @staticmethod
+    def _drain_batch(res, pbs):
+        raw, out_len, crc, ok = res
         raw = np.asarray(raw)
         out_len = np.asarray(out_len)
         crc = np.asarray(crc)
         ok = np.asarray(ok)
-
         outs = []
         for i, pb in enumerate(pbs):
             if not bool(ok[i]) or int(crc[i]) != pb.stored_crc:
@@ -148,7 +155,10 @@ class DeviceDecoder:
         """One-shot decode of a (possibly multi-member) .bz2 stream on
         the device path, with whole-stream host fallback on any anomaly."""
         buf = np.frombuffer(bytes(data), np.uint8)
-        out, _consumed = self._decompress_stream(buf)
+        try:
+            out, _consumed = self._decompress_stream(buf)
+        except Exception:  # noqa: BLE001 — device runtime flakiness falls
+            out = None     # back to the host decoder below
         if out is None:
             res, _, rc = native.decompress(bytes(data), multi_stream=True)
             if res is None:
@@ -193,28 +203,66 @@ class DeviceDecoder:
                     break
                 if magic != C.BLOCK_MAGIC:
                     return None, 0
-                # parse up to BATCH blocks ahead
-                pbs = []
-                while len(pbs) < self.batch:
-                    pb, rc = native.parse_block(buf, pos_bit, level)
-                    if pb is None:
-                        if pbs:
+                # two-stage pipeline: the native parse of batch k+1 (a
+                # GIL-releasing light scan) and the host prep overlap
+                # batch k's device execution; device results are forced
+                # only at drain time.
+                import concurrent.futures as _cf
+
+                def parse_batch(pos):
+                    pbs = []
+                    while len(pbs) < self.batch:
+                        pb, rc = native.parse_block(buf, pos, level)
+                        if pb is None:
+                            return (pbs, pos, False) if pbs else None
+                        if pb.randomised:
+                            return None     # legacy path: host decoder
+                        pbs.append(pb)
+                        pos = pb.end_bit
+                        if self._peek48(buf, pos) != C.BLOCK_MAGIC:
+                            return pbs, pos, False
+                    return pbs, pos, self._peek48(buf, pos) == C.BLOCK_MAGIC
+
+                pending = None
+                fail = False
+                with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+                    fut = ex.submit(parse_batch, pos_bit)
+                    while True:
+                        parsed = fut.result()
+                        if parsed is None:
+                            fail = True
                             break
-                        return None, 0
-                    if pb.randomised:
-                        return None, 0      # legacy path: host decoder
-                    pbs.append(pb)
-                    pos_bit = pb.end_bit
-                    nxt = self._peek48(buf, pos_bit)
-                    if nxt != C.BLOCK_MAGIC:
-                        break
-                outs = self._decode_batch(buf, level, pbs)
-                if outs is None or any(o is None for o in outs):
+                        pbs, pos_bit, more = parsed
+                        if more:
+                            fut = ex.submit(parse_batch, pos_bit)
+                        res = self._decode_batch(buf, level, pbs)
+                        if pending is not None:
+                            outs = self._drain_batch(*pending)
+                            if any(o is None for o in outs):
+                                fail = True
+                                break
+                            for pb, o in zip(pending[1], outs):
+                                combined = (((combined << 1)
+                                             | (combined >> 31))
+                                            & 0xFFFFFFFF) ^ pb.stored_crc
+                                parts.append(o)
+                        if res is None:
+                            fail = True
+                            break
+                        pending = (res, pbs)
+                        if not more:
+                            break
+                if not fail and pending is not None:
+                    outs = self._drain_batch(*pending)
+                    if any(o is None for o in outs):
+                        fail = True
+                    else:
+                        for pb, o in zip(pending[1], outs):
+                            combined = (((combined << 1) | (combined >> 31))
+                                        & 0xFFFFFFFF) ^ pb.stored_crc
+                            parts.append(o)
+                if fail:
                     return None, 0
-                for pb, o in zip(pbs, outs):
-                    combined = (((combined << 1) | (combined >> 31))
-                                & 0xFFFFFFFF) ^ pb.stored_crc
-                    parts.append(o)
             # byte-align and look for another member
             pos_bit = (pos_bit + 7) // 8 * 8
             if pos_bit // 8 + 4 <= buf.size and \

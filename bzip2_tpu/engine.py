@@ -458,10 +458,16 @@ class Engine:
                 words, nbits = self._encode_batch(level, arr, ns, uses, crcs)
             wall = _time.time() - t0
             with lock:
-                # EWMA of the device batch wall (queued batches report their
-                # wait too, which overestimates — conservative for handoff)
-                sched["dev_wall"] = (wall if not sched["dev_wall"]
-                                     else 0.5 * sched["dev_wall"] + 0.5 * wall)
+                # min-biased estimate of the device batch wall: queued or
+                # cold batches report inflated walls (tunnel warm-up, first
+                # compile-cache load), and a poisoned-high estimate starves
+                # the device permanently; a fast batch resets the belief
+                # immediately while slow ones only drag it up gently.
+                if not sched["dev_wall"] or wall < sched["dev_wall"]:
+                    sched["dev_wall"] = wall
+                else:
+                    sched["dev_wall"] = (0.8 * sched["dev_wall"]
+                                         + 0.2 * wall)
                 state["dev_inflight"] -= 1
             for j in range(take):
                 nbit = int(nbits[j])
