@@ -24,16 +24,68 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
+import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import numpy as np  # noqa: E402
+def _init_jax():
+    """Import jax + enable the persistent compilation cache.  Only the
+    TPU child process touches jax: the tunneled runtime can HANG (not
+    raise) late in this VM's life, so even `import jax` is unsafe in the
+    process that must always emit the JSON line."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 BASELINE_COMBINED_MBS = 85_000_000 / (3.80 + 2.39) / 1e6  # 13.7 MB/s
+
+
+def main_host_only():
+    """Last-resort benchmark: the native C++ host pipeline only, with jax
+    never imported (a wedged device runtime cannot take this path down)."""
+    from bzip2_tpu import api, hostmem, native
+
+    level = int(os.environ.get("BENCH_LEVEL", "9"))
+    target = int(os.environ.get("BENCH_BYTES", str(32 << 20)))
+    data = make_corpus(target)
+    log(f"host-only fallback: level={level} input={len(data) / 1e6:.1f} MB")
+    hostmem.set_malloc_retention()
+    hostmem.warm_heap(min(512 << 20, 4 * len(data)))
+    comp = api.compress(data, level)
+    native.decompress(comp)
+
+    def median(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        comp = api.compress(data, level)
+        runs.append(time.time() - t0)
+    t_enc = median(runs)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        out, _, rc = native.decompress(comp)
+        runs.append(time.time() - t0)
+        assert rc == 0 and out == data, "round-trip mismatch!"
+    t_dec = median(runs)
+    import bz2
+    bit_exact = comp == bz2.compress(data, level)
+    log(f"encode {len(data) / 1e6 / t_enc:.2f} MB/s, "
+        f"decode {len(data) / 1e6 / t_dec:.2f} MB/s, bit-exact={bit_exact}")
+    combined = len(data) / 1e6 / (t_enc + t_dec)
+    print(json.dumps({
+        "metric": f"single-chip compress+decompress MB/s at -{level} "
+                  f"(bit-exact={bit_exact}; host-only fallback, device "
+                  "runtime unavailable)",
+        "value": round(combined, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(combined / BASELINE_COMBINED_MBS, 3),
+    }))
 
 
 def log(msg):
@@ -99,6 +151,7 @@ def make_corpus(size: int) -> bytes:
 
 
 def main(use_device: bool = True):
+    jax = _init_jax()
     from bzip2_tpu import native
     from bzip2_tpu.engine import Engine
 
@@ -208,22 +261,55 @@ if __name__ == "__main__":
     # INVALID_ARGUMENT and degrades as the VM ages (see bzip2_tpu/ops/mtf.py
     # and the hostmem notes).  Fallback chain keeps the benchmark
     # recordable: hybrid+pallas -> hybrid+XLA -> host-only scheduler.
-    # AssertionError is a *correctness* failure (round-trip mismatch); it
-    # must never be papered over by a backend retry.
-    try:
-        main()
-    except AssertionError:
-        raise
-    except Exception as e:  # noqa: BLE001
-        log(f"bench attempt failed ({type(e).__name__}: {e}); "
-            "retrying on the XLA path")
-        from bzip2_tpu.ops import mtf as _mtf
-        _mtf.set_pallas_enabled(False)
+    if os.environ.get("BENCH_CHILD") == "1":
+        # AssertionError is a *correctness* failure (round-trip mismatch);
+        # it must never be papered over by a backend retry.
         try:
             main()
         except AssertionError:
             raise
-        except Exception as e2:  # noqa: BLE001
-            log(f"XLA retry failed ({type(e2).__name__}: {e2}); "
-                "falling back to the host-only scheduler")
-            main(use_device=False)
+        except Exception as e:  # noqa: BLE001
+            log(f"bench attempt failed ({type(e).__name__}: {e}); "
+                "retrying on the XLA path")
+            from bzip2_tpu.ops import mtf as _mtf
+            _mtf.set_pallas_enabled(False)
+            try:
+                main()
+            except AssertionError:
+                raise
+            except Exception as e2:  # noqa: BLE001
+                log(f"XLA retry failed ({type(e2).__name__}: {e2}); "
+                    "falling back to the host-only scheduler")
+                main(use_device=False)
+        sys.exit(0)
+
+    # Parent: watchdog the TPU attempt in a subprocess.  The tunneled
+    # runtime can HANG outright (observed on aged boots: even import jax
+    # or a scalar transfer wedges), and a hang would leave the driver with
+    # no JSON line at all — worse than any slow number.
+    import subprocess
+    budget = int(os.environ.get("BENCH_TPU_TIMEOUT", "1500"))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, BENCH_CHILD="1"), timeout=budget,
+            capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if "round-trip mismatch" in r.stderr:
+            sys.stderr.write("bench: correctness failure in TPU child; "
+                             "NOT falling back\n")
+            sys.exit(1)
+        if r.returncode == 0 and line:
+            print(line)
+            sys.exit(0)
+        log(f"TPU bench child rc={r.returncode} without a result; "
+            "host-only fallback")
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+        log(f"TPU bench child exceeded {budget}s (tunnel hang); "
+            "host-only fallback")
+    main_host_only()

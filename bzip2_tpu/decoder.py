@@ -64,6 +64,8 @@ class DeviceDecoder:
     WT_BUCKETS = (1 << 19, 1 << 21, 1 << 23)
 
     def __init__(self, batch_size: int = BATCH):
+        from .engine import _enable_compile_cache
+        _enable_compile_cache()
         self.batch = batch_size
         self._fns = {}
 

@@ -39,6 +39,27 @@ from .ops.mtf import mtf_rle2_batched
 A = C.MAX_ALPHA_SIZE
 
 
+def _enable_compile_cache() -> None:
+    """Turn on jax's persistent compilation cache (executable
+    serialization) unless the application configured one already or opted
+    out.  Cold compiles on the tunneled TPU backend run minutes; the cache
+    turns every later process's warm-up into an executable load."""
+    import os
+    if os.environ.get("BZ2TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.environ.get(
+            "BZ2TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "bz2tpu-xla"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization only
+        pass
+
+
 def _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf, n_in_use,
                  n_groups, n_selectors, sel_mtf, lens, codes, selectors):
     """Build the (vals, lens) field arrays for one batch.  Shapes static."""
@@ -214,6 +235,7 @@ class Engine:
         # side effect (embedding applications keep their default glibc
         # behavior until they actually construct an engine).
         _hostmem.set_malloc_retention()
+        _enable_compile_cache()
         self.batch_size = batch_size
         self.pipeline = max(1, pipeline)
         #: False = host-only scheduling (native C++ workers; the device is
@@ -283,19 +305,20 @@ class Engine:
                 )
         return self._compiled[key]
 
-    def prepare(self, level: int) -> None:
-        """Warm-compile the batch executables for ``level`` with the three
-        stage compiles issued from parallel threads.  Compilation on the
-        tunneled backend is mostly server-side (measured ~20s local CPU of
-        an ~80s wall compile), so overlapping the stages — and any host
-        workers — hides most of the cold-start.  No-op once compiled."""
+    def prepare(self, level: int, bsz: int | None = None) -> None:
+        """Warm-compile the batch executables for ``level`` (batch size
+        ``bsz``, default the primary size) with the three stage compiles
+        issued from parallel threads.  Compilation on the tunneled backend
+        is mostly server-side (measured ~20s local CPU of an ~80s wall
+        compile), so overlapping the stages — and any host workers — hides
+        most of the cold-start.  No-op once compiled."""
         if self.mode == "fused" or not self.use_device:
             return
-        if level in self._prepared:
+        if bsz is None:
+            bsz = self._batch_size_for(level)
+        if (level, bsz) in self._prepared:
             return
         import threading
-
-        bsz = self._batch_size_for(level)
         N = _block_pad_size(level)
         f_pre, f_iter, f_post = self._fns(level, bsz)
 
@@ -316,17 +339,24 @@ class Engine:
                      jnp.zeros((bsz,), jnp.uint32), z(orig_s),
                      z(n_groups_s, 2), z(sel_s), lens)
 
-        def warm(f, args):
-            return lambda: jax.block_until_ready(f(*args))
-
-        threads = [threading.Thread(target=t)
-                   for t in (warm(f_pre, pre_args), warm(f_iter, (hist, lens, inval)),
-                             warm(f_post, post_args))]
+        # Lowering fetches closure constants over the tunnel and must not
+        # run concurrently with other lowers/executions (observed to wedge
+        # the tunneled runtime); the expensive backend COMPILE is mostly
+        # server-side and parallelizes safely.  Sequential dummy executions
+        # then bind the executables into the jit dispatch caches (via the
+        # persistent compilation cache) and surface pallas runtime
+        # failures for the caller's kill-switch.
+        plan = [(f_pre, pre_args), (f_iter, (hist, lens, inval)),
+                (f_post, post_args)]
+        lowered = [f.lower(*args) for f, args in plan]
+        threads = [threading.Thread(target=lo.compile) for lo in lowered]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        self._prepared.add(level)
+        for f, args in plan:
+            jax.block_until_ready(f(*args))
+        self._prepared.add((level, bsz))
 
     def _encode_batch(self, level, arr, ns, uses, crcs):
         """Run one device batch; returns (words_np, nbits_np) with words
@@ -388,7 +418,13 @@ class Engine:
         if L == 0:
             return []
         N = _block_pad_size(level)
-        bsz = self._batch_size_for(level)
+        # exactly two executable sizes per level: tiny streams (<= 2
+        # blocks) use a 2-lane bucket so a one-block compress never pays a
+        # full-batch compile; everything else pads into the one primary
+        # executable (the tail batch's dummy lanes cost at most one batch
+        # wall, and the adaptive handoff usually gives tails to the host).
+        primary = self._batch_size_for(level)
+        bsz = 2 if (L <= 2 and primary > 2) else primary
 
         results: list = [None] * L
         lock = threading.Lock()
@@ -534,14 +570,14 @@ class Engine:
         # overlapped with the already-running host workers), then fan out
         if self.use_device:
             try:
-                self.prepare(level)
+                self.prepare(level, bsz)
             except jax.errors.JaxRuntimeError:
                 from .ops import mtf as _mtf
                 if _mtf.pallas_enabled():
                     _mtf.set_pallas_enabled(False)
                     self._compiled.clear()
                     self._prepared.clear()
-                    self.prepare(level)
+                    self.prepare(level, bsz)
                 else:
                     raise
             except BaseException as e:  # noqa: BLE001

@@ -29,9 +29,12 @@ all distinct-rotation blocks).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-INF = jnp.int32(0x7FFFFFFF)
+INF = np.int32(0x7FFFFFFF)   # host constant: device scalars here would
+                             # embed as jax Arrays and force a d2h fetch
+                             # at every lowering (tunnel hazard)
 _INIT_BYTES = 16          # initial rank depth (4 packed u32 keys)
 _MIRROR = 2048            # static width of the pad-mirror region
 

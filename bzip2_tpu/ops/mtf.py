@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_NEG = jnp.int32(-(1 << 30))
+_NEG = np.int32(-(1 << 30))  # host constant (no d2h at lowering)
 
 _PALLAS_OK = True
 

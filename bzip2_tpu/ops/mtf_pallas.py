@@ -21,11 +21,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = jnp.int32(-(1 << 30))
+_NEG = np.int32(-(1 << 30))  # host constant (no d2h at lowering)
 PTILE = 256      # within-tile scan length (keeps VMEM pressure low)
 LB = 8           # row-block: tiles processed per grid step
 

@@ -47,12 +47,12 @@ def test_prepare_failure_flips_to_xla(monkeypatch, rng):
     real = Engine.prepare
     state = {"calls": 0}
 
-    def flaky(self, level):
+    def flaky(self, level, bsz=None):
         state["calls"] += 1
         if state["calls"] == 1:
             raise jax.errors.JaxRuntimeError(
                 "INVALID_ARGUMENT: injected prepare failure")
-        return real(self, level)
+        return real(self, level, bsz)
 
     monkeypatch.setattr(Engine, "prepare", flaky)
     data = rng.integers(97, 120, 200_000, dtype="uint8").tobytes()
