@@ -19,8 +19,6 @@ corrupt input yields exactly the host decoder's clean error codes.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from . import constants as C

@@ -20,8 +20,8 @@ import numpy as np
 from . import constants as C
 from . import crc as _crc
 from . import rle1 as _rle1
-from .api import (BZ2Error, DataError, DataErrorMagic, UnexpectedEOF,
-                  _BLOCK_ENCODERS, _native_available, get_default_backend)
+from .api import (DataError, DataErrorMagic, _BLOCK_ENCODERS,
+                  _native_available, get_default_backend)
 from .bitstream import BitWriter
 
 
