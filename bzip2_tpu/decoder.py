@@ -40,31 +40,35 @@ def _jit_fns(level: int, wt_words: int):
     NOUT = N + N // 4 + 64
     G = min(C.MAX_SELECTORS, 2000 * level + 2)
 
-    # One jit PER STAGE, chained on device: a single fused pipeline jit
-    # measured 4.3x slower than the stage sum on this chip (XLA scheduling
-    # of the chained scans keeps too much live at once); per-stage
-    # executables also compile ~4-16s each instead of minutes.
-    f_sym = jax.jit(D.decode_symbols)
-    f_mtf = jax.jit(D.mtf_inverse)
-    f_rle2 = jax.jit(lambda s, v, nu, nm: D.rle2_expand(s, v, nu, nm, N))
-    f_ibwt = jax.jit(lambda l, n, o: D.ibwt(l, n, o, WALKERS))
-    f_rle1 = jax.jit(lambda x, n: D.rle1_inverse(x, n, NOUT))
-    f_crc = jax.jit(D.crc32_device)
-    f_fin = jax.jit(lambda raw, ok, fits: (raw.astype(jnp.uint8), ok & fits))
+    # THREE stage-group jits, chained with explicit syncs: a single fused
+    # pipeline jit measured 4.3x slower than the stage sum on this chip
+    # (XLA scheduling of the chained scans keeps too much live at once),
+    # while more than one QUEUED executable wedges the tunneled runtime
+    # (same instability family as the one-pallas-executable rule) — three
+    # groups balance fusion quality against per-sync tunnel latency.
+    def grp_symbols(words, goff, gsel, gvalid, limit6, base6, perm6,
+                    used_list, n_used, n_mtf):
+        syms = D.decode_symbols(words, goff, gsel, gvalid, limit6, base6,
+                                perm6)
+        vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
+        return D.rle2_expand(syms, vals, n_used, n_mtf, N)
+
+    def grp_tail(out, n_out, ok):
+        raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
+        crc = D.crc32_device(raw, out_len)
+        return raw.astype(jnp.uint8), out_len, crc, ok & fits
+
+    f_a = jax.jit(grp_symbols)
+    f_b = jax.jit(lambda l, n, o: D.ibwt(l, n, o, WALKERS))
+    f_c = jax.jit(grp_tail)
 
     def pipeline(words, goff, gsel, gvalid, limit6, base6, perm6,
                  used_list, n_used, n_mtf, orig):
-        # explicit sync between stages: more than one queued executable
-        # wedges this tunneled runtime (same instability family as the
-        # one-pallas-executable rule); the sync costs ~ms per stage
         b = jax.block_until_ready
-        syms = b(f_sym(words, goff, gsel, gvalid, limit6, base6, perm6))
-        vals = b(f_mtf(syms, used_list, n_used, n_mtf))
-        last, n_out = b(f_rle2(syms, vals, n_used, n_mtf))
-        out, ok = b(f_ibwt(last, n_out, orig))
-        raw, out_len, fits = b(f_rle1(out, n_out))
-        crc = b(f_crc(raw, out_len))
-        raw8, okf = b(f_fin(raw, ok, fits))
+        last, n_out = b(f_a(words, goff, gsel, gvalid, limit6, base6,
+                            perm6, used_list, n_used, n_mtf))
+        out, ok = b(f_b(last, n_out, orig))
+        raw8, out_len, crc, okf = b(f_c(out, n_out, ok))
         return raw8, out_len, crc, okf
 
     return pipeline, N, NOUT, G
