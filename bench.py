@@ -221,7 +221,7 @@ def main(use_device: bool = True):
         try:
             from bzip2_tpu.decoder import DeviceDecoder
             ddec = DeviceDecoder()
-            dslice = data[:8 << 20]
+            dslice = data[:24 << 20]
             dcomp = eng.compress(dslice, level)
             t0 = time.time()
             dout = ddec.decompress(dcomp)    # compile/load + run
