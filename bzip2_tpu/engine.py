@@ -229,7 +229,7 @@ class Engine:
     AUTO_BATCH_BYTES = 8 << 20
 
     def __init__(self, batch_size: int | None = None, mode: str | None = None,
-                 pipeline: int = 1, host_workers: int | None = None,
+                 pipeline: int = 2, host_workers: int | None = None,
                  use_device: bool = True):
         # allocator retention is an Engine-scoped policy, not an import-time
         # side effect (embedding applications keep their default glibc
@@ -322,10 +322,15 @@ class Engine:
         N = _block_pad_size(level)
         f_pre, f_iter, f_post = self._fns(level, bsz)
 
-        arr = jnp.zeros((bsz, N), jnp.uint8)
-        ns = jnp.ones((bsz,), jnp.int32)
-        uses = jnp.zeros((bsz, 256), bool).at[:, 0].set(True)
-        pre_args = (arr, ns, uses)
+        # dummy args as NUMPY arrays, converted exactly the way real
+        # batches are (run_batch: jnp.asarray of C-order numpy) so the
+        # warmed dispatch-cache entries are the ones real calls hit
+        arr = np.zeros((bsz, N), np.uint8)
+        ns = np.ones((bsz,), np.int32)
+        uses_np = np.zeros((bsz, 256), bool)
+        uses_np[:, 0] = True
+        pre_args = (jnp.asarray(arr), jnp.asarray(ns), jnp.asarray(uses_np))
+        uses = pre_args[2]
         # derive the exact inter-stage shapes without compiling
         (mtfv_s, n_mtf_s, n_in_use_s, orig_s, n_groups_s, lens0_s, hist_s,
          inval_s) = jax.eval_shape(f_pre, *pre_args)
