@@ -19,6 +19,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <immintrin.h>
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
@@ -307,7 +308,7 @@ struct RandState {
 // Decode one block body (after the 48-bit block magic has been consumed).
 // Appends the block's raw bytes to ob and folds its CRC into *combined.
 // Returns BZT_OK / BZT_DATA_ERROR / BZT_UNEXPECTED_EOF / BZT_MEM_ERROR.
-static double g_dec_t[4];
+static double g_dec_t[5];
 static void dec_lap(int k, struct timespec* t0) {
   if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
   struct timespec t1;
@@ -317,8 +318,10 @@ static void dec_lap(int k, struct timespec* t0) {
 }
 void bz2tpu_dump_dec_timing() {
   if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
-  fprintf(stderr, "[dec] hdr %.3fs  huff/mtf %.3fs  ibwt-build %.3fs  walk %.3fs\n",
-          g_dec_t[0], g_dec_t[1], g_dec_t[2], g_dec_t[3]);
+  fprintf(stderr,
+          "[dec] hdr %.3fs  huff/mtf %.3fs  ibwt-build %.3fs  chase %.3fs  "
+          "expand+crc %.3fs\n",
+          g_dec_t[0], g_dec_t[1], g_dec_t[2], g_dec_t[3], g_dec_t[4]);
   memset(g_dec_t, 0, sizeof g_dec_t);
 }
 
@@ -627,82 +630,184 @@ i32 bz2tpu_parse_block(const u8* data, i64 len, i64 start_bit, i32 max_block,
 
 // inverse BWT: stable counting order with char + successor fused into one
 // u32 per entry (one random access per output byte; the reference's
-// composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444),
-// then walk the chain with RLE1 expansion (+ optional legacy
-// derandomisation).  The block CRC runs vectorised (slice-by-8) over the
-// finished output span instead of per-byte inside the chain walk.
-static void build_tt(const u8* blk, i32 n, i32* cftab, u32* tt) {
+// composed-tt idea, decompress.c:767-790 / bzlib_private.h:442-444).
+//
+// The chain walk is split in two phases so independent blocks can hide
+// each other's memory latency:
+//   1. chase  — the pure pointer chase (tt[t>>8]), the latency-bound part.
+//      Up to DEC_K blocks' chains are interleaved in ONE loop: each chain
+//      is a serial dependency, but K chains give the core K outstanding
+//      cache misses instead of one (memory-level parallelism), which is
+//      worth ~3x on a 900k-entry table that misses LLC/L2.
+//   2. expand — sequential RLE1 expansion (+ legacy derandomisation) of
+//      the chased bytes into the output, then the vectorised block CRC.
+// All bitstream reads happen in the symbol phase, so batching blocks does
+// not perturb bit positions or error detection order observable from the
+// API (errors still abort the whole call exactly as before).
+// tt entries carry GLOBAL successor indices ((chain_base + succ) << 8 | ch)
+// so every chain chases off one shared table base with a single u32 of
+// per-chain state — that register thrift is what lets 16 chains fit the
+// GPR file.  16 chains * 900000 entries << 8 still fits u32.
+static void build_tt(const u8* blk, i32 n, i32* cftab, u32* tt_chain,
+                     u32 base) {
   for (i32 i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
-  for (i32 i = 0; i < n; i++) tt[cftab[blk[i]]++] = ((u32)i << 8) | blk[i];
+  for (i32 i = 0; i < n; i++)
+    tt_chain[cftab[blk[i]]++] = ((base + (u32)i) << 8) | blk[i];
 }
 
-struct WalkState {
-  const u32* tt;
-  u32 t;
-  i32 left;
-  i32 run_ch = -1, run_len = 0;
-  u32 randomised;
-  RandState rs;
-  OutBuf* o;
+enum {
+  DEC_K = 16,        // interleaved chains (buffers allocate lazily)
+  DEC_MAXB = 900000, // compile-time chain stride (= level-9 max block)
 };
 
-static inline i32 walk_step(WalkState& w) {
-  u8 ch = (u8)w.t;
-  w.t = w.tt[w.t >> 8];
-  w.left--;
-  if (w.randomised) ch ^= (u8)w.rs.next_mask();
-  if ((i32)ch == w.run_ch) w.run_len++; else { w.run_ch = ch; w.run_len = 1; }
-  if (w.o->len + 300 > w.o->cap && !w.o->grow(300)) return BZT_MEM_ERROR;
-  w.o->p[w.o->len++] = ch;
-  if (w.run_len == 4) {
-    if (w.left == 0) return BZT_DATA_ERROR;
-    u8 cnt = (u8)w.t;
-    w.t = w.tt[w.t >> 8];
-    w.left--;
-    if (w.randomised) cnt ^= (u8)w.rs.next_mask();
-    if (cnt) {
-      memset(w.o->p + w.o->len, ch, cnt);
-      w.o->len += cnt;
+struct DecSlot {
+  u8* blk = nullptr;  // max_block (MTF/RLE2-decoded block, BWT order)
+  i32 cftab[257];
+  BlockSym bs;
+  i64 end_bit;        // bit just past this block (decode_some commit)
+};
+
+struct DecBatch {
+  DecSlot sl[DEC_K];
+  u32* tt_all = nullptr;    // DEC_K * DEC_MAXB; chain i at i * DEC_MAXB
+  u8* chase_all = nullptr;  // chain i's chase bytes at i * DEC_MAXB
+  int count = 0;
+  i32 max_block = 0;
+
+  bool ensure(int s) {
+    if (!tt_all) {
+      // one contiguous table (global successor indices address the whole
+      // thing); virtual until touched, and glibc retention (set by the
+      // Python layer) keeps the pages warm across calls.
+      tt_all = (u32*)malloc((i64)DEC_K * DEC_MAXB * 4);
+      chase_all = (u8*)malloc((i64)DEC_K * DEC_MAXB);
+      if (!tt_all || !chase_all) return false;
+      advise_huge(tt_all, (i64)DEC_K * DEC_MAXB * 4);
+      advise_huge(chase_all, (i64)DEC_K * DEC_MAXB);
     }
-    w.run_ch = -1;
-    w.run_len = 0;
+    DecSlot& d = sl[s];
+    if (!d.blk) {
+      d.blk = (u8*)malloc(max_block);
+      if (!d.blk) return false;
+    }
+    return true;
   }
-  return BZT_OK;
+  void release() {
+    free(tt_all); free(chase_all);
+    tt_all = nullptr; chase_all = nullptr;
+    for (int s = 0; s < DEC_K; s++) { free(sl[s].blk); sl[s].blk = nullptr; }
+    count = 0;
+  }
+};
+
+// Interleaved chain chase over KN <= DEC_K blocks.  Each chain is a serial
+// dependency, but KN chains give the core KN outstanding cache misses
+// instead of one (memory-level parallelism) — the chase is L2/L3 latency
+// bound, so this is worth ~4x.  Every chain runs nmax steps: the IBWT
+// permutation is a single n-cycle, so a finished chain cycles back through
+// valid indices and its surplus bytes are ignored by the expand phase.
+// (A vpgatherdd formulation was measured SLOWER: the whole-register
+// dependency convoys all lanes on the slowest load each step, while
+// independent scalar chains drift freely.)
+extern "C++" {  // template needs C++ linkage
+template <int KN>
+static void chase_kg(const u32* tt, u8* out_all, const u32* t0, i32 nmax) {
+  u32 t[KN];
+  for (int i = 0; i < KN; i++) t[i] = t0[i];
+  for (i32 j = 0; j < nmax; j++) {
+    for (int i = 0; i < KN; i++) {
+      out_all[(i64)i * DEC_MAXB + j] = (u8)t[i];
+      t[i] = tt[t[i] >> 8];
+    }
+  }
+}
+}  // extern "C++"
+
+static void chase_batch(const DecBatch& b, i32 nmax) {
+  u32 t0[DEC_K];
+  for (int i = 0; i < b.count; i++)
+    t0[i] = b.tt_all[(i64)i * DEC_MAXB + b.sl[i].bs.orig_ptr];
+  const u32* tt = b.tt_all;
+  u8* out = b.chase_all;
+  switch (b.count) {
+    case 1: chase_kg<1>(tt, out, t0, nmax); break;
+    case 2: chase_kg<2>(tt, out, t0, nmax); break;
+    case 3: chase_kg<3>(tt, out, t0, nmax); break;
+    case 4: chase_kg<4>(tt, out, t0, nmax); break;
+    case 5: chase_kg<5>(tt, out, t0, nmax); break;
+    case 6: chase_kg<6>(tt, out, t0, nmax); break;
+    case 7: chase_kg<7>(tt, out, t0, nmax); break;
+    case 8: chase_kg<8>(tt, out, t0, nmax); break;
+    case 9: chase_kg<9>(tt, out, t0, nmax); break;
+    case 10: chase_kg<10>(tt, out, t0, nmax); break;
+    case 11: chase_kg<11>(tt, out, t0, nmax); break;
+    case 12: chase_kg<12>(tt, out, t0, nmax); break;
+    case 13: chase_kg<13>(tt, out, t0, nmax); break;
+    case 14: chase_kg<14>(tt, out, t0, nmax); break;
+    case 15: chase_kg<15>(tt, out, t0, nmax); break;
+    default: chase_kg<16>(tt, out, t0, nmax); break;
+  }
 }
 
-static i32 walk_finish(const BlockSym& bs, OutBuf& ob, i64 out_start,
-                       u32* combined) {
+// RLE1-expand one chased block into ob; derandomise legacy streams inline
+// (the mask applies to count bytes too, matching the fused walk semantics);
+// verify the block CRC and fold it into the stream's combined CRC.
+static i32 expand_block(const DecBatch& b, int slot, OutBuf& ob,
+                        u32* combined) {
+  const u8* in = b.chase_all + (i64)slot * DEC_MAXB;
+  const DecSlot& sl = b.sl[slot];
+  const i32 n = sl.bs.n;
+  if (!ob.grow((i64)n + 300)) return BZT_MEM_ERROR;
+  i64 out_start = ob.len;
+  RandState rs;
+  const int rnd = (int)sl.bs.randomised;
+  i32 run_ch = -1, run_len = 0;
+  for (i32 i = 0; i < n;) {
+    if (ob.len + 300 > ob.cap && !ob.grow(300)) return BZT_MEM_ERROR;
+    u8 ch = in[i++];
+    if (rnd) ch ^= (u8)rs.next_mask();
+    if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
+    ob.p[ob.len++] = ch;
+    if (run_len == 4) {
+      if (i >= n) return BZT_DATA_ERROR;
+      u8 cnt = in[i++];
+      if (rnd) cnt ^= (u8)rs.next_mask();
+      if (cnt) {
+        memset(ob.p + ob.len, ch, cnt);
+        ob.len += cnt;
+      }
+      run_ch = -1;
+      run_len = 0;
+    }
+  }
   u32 crc = ~crc_update(0xffffffffu, ob.p + out_start, ob.len - out_start);
-  if (crc != bs.stored_crc) return BZT_DATA_ERROR;
+  if (crc != sl.bs.stored_crc) return BZT_DATA_ERROR;
   *combined = ((*combined << 1) | (*combined >> 31)) ^ crc;
   return BZT_OK;
 }
 
-static i32 walk_block(const BlockSym& bs, const u8* blk, i32* cftab, u32* tt,
-                      OutBuf& ob, u32* combined) {
+// Chase + expand every pending block, in block order.  On success the
+// batch is empty and *combined covers all flushed blocks.
+static i32 flush_batch(DecBatch& b, OutBuf& ob, u32* combined) {
+  if (b.count == 0) return BZT_OK;
   struct timespec dect0;
   if (getenv("BZ2TPU_DEBUG_TIMING")) clock_gettime(CLOCK_MONOTONIC, &dect0);
-  build_tt(blk, bs.n, cftab, tt);
+  i32 nmax = 0;
+  for (int i = 0; i < b.count; i++) {
+    build_tt(b.sl[i].blk, b.sl[i].bs.n, b.sl[i].cftab,
+             b.tt_all + (i64)i * DEC_MAXB, (u32)(i * DEC_MAXB));
+    if (b.sl[i].bs.n > nmax) nmax = b.sl[i].bs.n;
+  }
   dec_lap(2, &dect0);
-  if (!ob.grow((i64)bs.n + 300)) return BZT_MEM_ERROR;
-  i64 out_start = ob.len;
-  WalkState w{tt, tt[bs.orig_ptr], bs.n, -1, 0, bs.randomised, RandState(),
-              &ob};
-  while (w.left > 0) {
-    i32 rc = walk_step(w);
+  chase_batch(b, nmax);
+  dec_lap(3, &dect0);
+  for (int i = 0; i < b.count; i++) {
+    i32 rc = expand_block(b, i, ob, combined);
     if (rc != BZT_OK) return rc;
   }
-  dec_lap(3, &dect0);
-  return walk_finish(bs, ob, out_start, combined);
-}
-
-static i32 decode_block(BitRd& br, i32 max_block, u32* tt, u8* blk,
-                        OutBuf& ob, u32* combined) {
-  i32 cftab[257];
-  BlockSym bs;
-  i32 rc = decode_block_symbols(br, max_block, blk, cftab, bs);
-  if (rc != BZT_OK) return rc;
-  return walk_block(bs, blk, cftab, tt, ob, combined);
+  dec_lap(4, &dect0);
+  b.count = 0;
+  return BZT_OK;
 }
 
 #define GET2(v, k) do { if (!br.have(k)) { err = BZT_UNEXPECTED_EOF; goto done; } \
@@ -720,9 +825,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
   int streams_done = 0;
   bool multi = (flags & 1) != 0;
 
-  u32* tt = nullptr;
-  u8* blk = nullptr;
-  i32 blk_cap = 0;
+  DecBatch batch;
 
   while (true) {  // stream loop
     if (!br.have(8)) {
@@ -747,13 +850,9 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
     }
     {
       i32 max_block = 100000 * (i32)h;
-      if (max_block > blk_cap) {
-        free(tt); free(blk);
-        tt = (u32*)malloc((i64)max_block * 4);
-        blk = (u8*)malloc(max_block);
-        if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
-        advise_huge(tt, (i64)max_block * 4);
-        blk_cap = max_block;
+      if (max_block > batch.max_block) {
+        batch.release();
+        batch.max_block = max_block;
       }
       u32 combined = 0;
       while (true) {  // block loop
@@ -762,6 +861,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
         mag_hi = br.peek(24); br.drop(24);
         mag_lo = br.peek(24); br.drop(24);
         if (mag_hi == 0x177245 && mag_lo == 0x385090) {
+          if ((err = flush_batch(batch, ob, &combined)) != BZT_OK) goto done;
           u32 hi16, lo16;
           GET2(hi16, 16); GET2(lo16, 16);
           u32 stored_comb = (hi16 << 16) | lo16;
@@ -771,8 +871,14 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
         if (mag_hi != 0x314159 || mag_lo != 0x265359) {
           err = BZT_DATA_ERROR; goto done;
         }
-        i32 rc = decode_block(br, max_block, tt, blk, ob, &combined);
+        if (!batch.ensure(batch.count)) { err = BZT_MEM_ERROR; goto done; }
+        DecSlot& slot = batch.sl[batch.count];
+        i32 rc = decode_block_symbols(br, max_block, slot.blk, slot.cftab,
+                                      slot.bs);
         if (rc != BZT_OK) { err = rc; goto done; }
+        if (++batch.count == DEC_K &&
+            (err = flush_batch(batch, ob, &combined)) != BZT_OK)
+          goto done;
       }
       streams_done++;
       br.drop(br.n & 7);  // streams are byte aligned
@@ -781,8 +887,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
   }
 
 done:
-  free(tt);
-  free(blk);
+  batch.release();
   if (err == BZT_OK) {
     *out = ob.p;
     *out_len = ob.len;
@@ -824,8 +929,7 @@ i32 bz2tpu_decode_some(const u8* data, i64 len, i64 start_bit, i32 level_in,
   if (start_bit & 7) { br.fill(); br.drop((int)(start_bit & 7)); }
   i64 done_bit = start_bit;  // last committed boundary
 
-  u32* tt = nullptr;
-  u8* blk = nullptr;
+  DecBatch batch;
 
   if (level == 0) {
     if (!br.have(32)) goto need_more;
@@ -839,46 +943,54 @@ i32 bz2tpu_decode_some(const u8* data, i64 len, i64 start_bit, i32 level_in,
     done_bit += 32;
   }
   {
-    i32 max_block = 100000 * level;
-    tt = (u32*)malloc((i64)max_block * 4);
-    blk = (u8*)malloc(max_block);
-    if (!tt || !blk) { err = BZT_MEM_ERROR; goto done; }
-    advise_huge(tt, (i64)max_block * 4);
+    batch.max_block = 100000 * level;
 
     while (true) {
       if (!br.have(48)) goto need_more;
       BitRd save = br;
-      i64 save_len = ob.len;
       u32 mag_hi = br.peek(24); br.drop(24);
       u32 mag_lo = br.peek(24); br.drop(24);
       if (mag_hi == 0x177245 && mag_lo == 0x385090) {
         if (!br.have(32)) { br = save; goto need_more; }
         u32 hi16 = br.peek(16); br.drop(16);
         u32 lo16 = br.peek(16); br.drop(16);
+        if ((err = flush_batch(batch, ob, &combined)) != BZT_OK) goto done;
         u32 stored = (hi16 << 16) | lo16;
         if (stored != combined) { err = BZT_DATA_ERROR; goto done; }
-        done_bit += 48 + 32;
+        done_bit = (br.p - data) * 8 - br.n;  // just past the 32-bit CRC
         *status = 1;
         break;
       }
       if (mag_hi != 0x314159 || mag_lo != 0x265359) {
         err = BZT_DATA_ERROR; goto done;
       }
-      i32 rc = decode_block(br, max_block, tt, blk, ob, &combined);
+      if (!batch.ensure(batch.count)) { err = BZT_MEM_ERROR; goto done; }
+      DecSlot& slot = batch.sl[batch.count];
+      i32 rc = decode_block_symbols(br, batch.max_block, slot.blk, slot.cftab,
+                                    slot.bs);
       if (rc == BZT_UNEXPECTED_EOF) {
         br = save;
-        ob.len = save_len;
         goto need_more;
       }
       if (rc != BZT_OK) { err = rc; goto done; }
-      done_bit = (br.p - data) * 8 - br.n;
+      slot.end_bit = (br.p - data) * 8 - br.n;
+      if (++batch.count == DEC_K) {
+        i64 last = batch.sl[DEC_K - 1].end_bit;
+        if ((err = flush_batch(batch, ob, &combined)) != BZT_OK) goto done;
+        done_bit = last;
+      }
     }
   }
 
 need_more:
+  // blocks whose symbols parsed completely are decodable: flush and commit
+  if (err == BZT_OK && batch.count > 0) {
+    i64 last = batch.sl[batch.count - 1].end_bit;
+    err = flush_batch(batch, ob, &combined);
+    if (err == BZT_OK) done_bit = last;
+  }
 done:
-  free(tt);
-  free(blk);
+  batch.release();
   if (err == BZT_OK) {
     *out = ob.p;
     *out_len = ob.len;
