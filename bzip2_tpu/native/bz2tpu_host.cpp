@@ -752,6 +752,14 @@ static void chase_batch(const DecBatch& b, i32 nmax) {
 // RLE1-expand one chased block into ob; derandomise legacy streams inline
 // (the mask applies to count bytes too, matching the fused walk semantics);
 // verify the block CRC and fold it into the stream's combined CRC.
+//
+// Fast path: a 32-byte chunk with no 4 consecutive equal raw bytes cannot
+// contain a run completion (runs are contiguous in the chase buffer), so
+// it copies straight through.  Raw equality may false-positive across a
+// count byte — that only drops to the scalar loop, never mis-decodes;
+// the scalar loop's run state is recomputed from the trailing raw bytes
+// clipped at the last consumed count byte, which is exact because chunks
+// with mask==0 provably contain no count bytes and no runs >= 4.
 static i32 expand_block(const DecBatch& b, int slot, OutBuf& ob,
                         u32* combined) {
   const u8* in = b.chase_all + (i64)slot * DEC_MAXB;
@@ -761,23 +769,72 @@ static i32 expand_block(const DecBatch& b, int slot, OutBuf& ob,
   i64 out_start = ob.len;
   RandState rs;
   const int rnd = (int)sl.bs.randomised;
-  i32 run_ch = -1, run_len = 0;
-  for (i32 i = 0; i < n;) {
-    if (ob.len + 300 > ob.cap && !ob.grow(300)) return BZT_MEM_ERROR;
-    u8 ch = in[i++];
-    if (rnd) ch ^= (u8)rs.next_mask();
-    if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
-    ob.p[ob.len++] = ch;
-    if (run_len == 4) {
-      if (i >= n) return BZT_DATA_ERROR;
-      u8 cnt = in[i++];
-      if (rnd) cnt ^= (u8)rs.next_mask();
-      if (cnt) {
-        memset(ob.p + ob.len, ch, cnt);
-        ob.len += cnt;
+  i64 last_cnt = -1;  // position of the last count byte consumed
+  i32 i = 0;
+  while (i < n) {
+#ifdef __AVX2__
+    if (!rnd && i >= 3) {
+      while (i + 33 <= n) {  // +1: a completing run needs its count byte
+        __m256i x0 = _mm256_loadu_si256((const __m256i*)(in + i));
+        __m256i e1 = _mm256_cmpeq_epi8(
+            x0, _mm256_loadu_si256((const __m256i*)(in + i - 1)));
+        __m256i e2 = _mm256_cmpeq_epi8(
+            x0, _mm256_loadu_si256((const __m256i*)(in + i - 2)));
+        __m256i e3 = _mm256_cmpeq_epi8(
+            x0, _mm256_loadu_si256((const __m256i*)(in + i - 3)));
+        u32 m = (u32)_mm256_movemask_epi8(
+            _mm256_and_si256(e1, _mm256_and_si256(e2, e3)));
+        if (m) {
+          // copy the literals ahead of the first run completion, then let
+          // the scalar loop handle the event itself
+          i32 p = (i32)__builtin_ctz(m);
+          if (p > 3) {
+            i32 safe = p - 3;
+            if (ob.len + safe + 300 > ob.cap && !ob.grow(safe + 300))
+              return BZT_MEM_ERROR;
+            memcpy(ob.p + ob.len, in + i, safe);
+            ob.len += safe;
+            i += safe;
+          }
+          break;
+        }
+        if (ob.len + 332 > ob.cap && !ob.grow(332)) return BZT_MEM_ERROR;
+        memcpy(ob.p + ob.len, in + i, 32);
+        ob.len += 32;
+        i += 32;
       }
-      run_ch = -1;
-      run_len = 0;
+      if (i >= n) break;
+    }
+#endif
+    // scalar stretch: recompute run state from trailing raw bytes
+    i32 run_ch = -1, run_len = 0;
+    if (!rnd && i > 0) {
+      u8 c0 = in[i - 1];
+      while (run_len < 3 && (i64)(i - 1 - run_len) > last_cnt &&
+             in[i - 1 - run_len] == c0)
+        run_len++;
+      if (run_len) run_ch = c0;
+    }
+    i32 lim = rnd ? n : (i + 8 < n ? i + 8 : n);
+    while (i < lim) {
+      if (ob.len + 300 > ob.cap && !ob.grow(300)) return BZT_MEM_ERROR;
+      u8 ch = in[i++];
+      if (rnd) ch ^= (u8)rs.next_mask();
+      if ((i32)ch == run_ch) run_len++; else { run_ch = ch; run_len = 1; }
+      ob.p[ob.len++] = ch;
+      if (run_len == 4) {
+        if (i >= n) return BZT_DATA_ERROR;
+        u8 cnt = in[i];
+        last_cnt = i;
+        i++;
+        if (rnd) cnt ^= (u8)rs.next_mask();
+        if (cnt) {
+          memset(ob.p + ob.len, ch, cnt);
+          ob.len += cnt;
+        }
+        run_ch = -1;
+        run_len = 0;
+      }
     }
   }
   u32 crc = ~crc_update(0xffffffffu, ob.p + out_start, ob.len - out_start);
