@@ -148,7 +148,7 @@ def encode_batch_device(blocks, n, in_use, crc, n_words: int,
                         use_pallas: bool = True):
     """The full jitted encoder: (B,N) uint8 padded RLE1 blocks -> packed
     per-block bitstreams (B, n_words) uint32 + bit counts (B,)."""
-    last, orig_ptr, _ = bwt_batched(blocks, n)
+    last, orig_ptr, _ = bwt_batched(blocks, n, use_pallas=use_pallas)
     mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use,
                                              use_pallas=use_pallas)
     n_groups, n_selectors, selectors, sel_mtf, lens, codes = group_search_batched(
@@ -169,7 +169,7 @@ def encode_pre(blocks, n, in_use, use_pallas: bool = True):
     from .ops.groupsearch import (build_group_hist, initial_tables_batched,
                                   n_groups_batched)
 
-    last, orig_ptr, _ = bwt_batched(blocks, n)
+    last, orig_ptr, _ = bwt_batched(blocks, n, use_pallas=use_pallas)
     mtfv, n_mtf, n_in_use = mtf_rle2_batched(last, n, in_use, tile=MTF_TILE,
                                              use_pallas=use_pallas)
     n_groups = n_groups_batched(n_mtf)

@@ -35,8 +35,37 @@ from jax import lax
 INF = np.int32(0x7FFFFFFF)   # host constant: device scalars here would
                              # embed as jax Arrays and force a d2h fetch
                              # at every lowering (tunnel hazard)
+P20 = np.int32((1 << 20) - 1)  # rank clamp for the packed-key pallas sort
 _INIT_BYTES = 16          # initial rank depth (4 packed u32 keys)
 _MIRROR = 2048            # static width of the pad-mirror region
+_INTERPRET = False        # tests: run the pallas sort in interpreter mode
+
+
+def _pallas_sort_on(use_pallas: bool) -> bool:
+    from . import mtf
+    import jax
+    return (use_pallas and mtf.pallas_enabled()
+            and (jax.default_backend() == "tpu" or _INTERPRET))
+
+
+def _pallas_sort_cols(A, Bv):
+    """Bitonic-sort packed (A, B) i32 columns (lex order) on device.
+
+    Pads to the next power of two with (INF, bit29|pos) sentinels — every
+    pair stays distinct, so the unstable network is deterministic — and
+    slices back.  See sort_pallas.py for the kernel."""
+    from .sort_pallas import sort_pairs
+    B, C = A.shape
+    NP = 1 << (C - 1).bit_length()
+    if NP > C:
+        padpos = jnp.arange(C, NP, dtype=jnp.int32)[None, :]
+        A = jnp.concatenate([A, jnp.full((B, NP - C), INF, jnp.int32)],
+                            axis=1)
+        Bv = jnp.concatenate(
+            [Bv, jnp.broadcast_to(np.int32(1 << 29) | padpos, (B, NP - C))],
+            axis=1)
+    As, Bs = sort_pairs(A, Bv, interpret=_INTERPRET)
+    return As[:, :C], Bs[:, :C]
 
 
 def _pack4(p0, p1, p2, p3):
@@ -89,13 +118,22 @@ def _scatter_rank(order, start, singleton, valid, n, N, mirror=True):
     return rank, tied, unres
 
 
-def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
+def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray,
+                use_pallas: bool = False):
     """blocks: uint8 (B, N); n: int32 (B,) true lengths (>= 1).
 
     Returns (last uint8 (B, N), orig_ptr int32 (B,), sa int32 (B, N)).
     Pad positions of ``last`` are 0.
+
+    With ``use_pallas`` (and the pallas gate open) the doubling passes'
+    sorts run on the bitonic VMEM kernel: (r1, r2) rank pairs and the
+    position payload pack into two i32 planes (r1:20 | r2:20 | pos:20 over
+    62 usable bits), and the compact stages switch from x4 to x2 doubling
+    (two-plane keys can't carry three neighbour ranks; x2 also does 1.5x
+    fewer rank gathers for the same k progress).
     """
     B, N = blocks.shape
+    pallas_sort = _pallas_sort_on(use_pallas)
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     valid = idx < n[:, None]
     nn = jnp.maximum(n[:, None], 1)
@@ -152,12 +190,22 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
 
     def full_body(state):
         rank, tied, k, _ = state
-        r1 = jnp.where(valid, rank, INF)
-        r2 = jnp.where(valid, neighbour_ranks(rank, k), INF)
-        r1s, r2s, order = lax.sort(
-            (r1, r2, jnp.broadcast_to(idx, (B, N))),
-            dimension=1, is_stable=True, num_keys=2)
-        start, singleton = _gapped_rerank(order, [r1s, r2s])
+        if pallas_sort:
+            r1 = jnp.where(valid, rank, P20)
+            r2 = jnp.where(valid, neighbour_ranks(rank, k), P20)
+            A = jnp.where(valid, (r1 << 11) | (r2 >> 9), INF)
+            Bv = jnp.where(valid, ((r2 & 511) << 20) | idx,
+                           np.int32(1 << 29) | idx)
+            As, Bs = _pallas_sort_cols(A, Bv)
+            order = Bs & P20
+            start, singleton = _gapped_rerank(order, [As, Bs >> 20])
+        else:
+            r1 = jnp.where(valid, rank, INF)
+            r2 = jnp.where(valid, neighbour_ranks(rank, k), INF)
+            r1s, r2s, order = lax.sort(
+                (r1, r2, jnp.broadcast_to(idx, (B, N))),
+                dimension=1, is_stable=True, num_keys=2)
+            start, singleton = _gapped_rerank(order, [r1s, r2s])
         rank, tied, unres = _scatter_rank(order, start, singleton, valid, n, N)
         return rank, tied, k * 2, unres
 
@@ -238,6 +286,52 @@ def bwt_batched(blocks: jnp.ndarray, n: jnp.ndarray):
         # at stage entry every live buffer entry is (still) unresolved
         unres0 = p >= 0
         return lax.while_loop(cond, body, (rankD, p, r1, unres0, k, unres))
+
+    def compact_stage_pallas(rankD, p, r1, k, unres, next_thresh):
+        """x2-doubling compact passes on the pallas bitonic sort: one
+        neighbour gather per pass, (r1, n1, pos) packed into two planes."""
+        C = p.shape[1]
+        jc = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+        def cond(state):
+            _, _, _, _, k, unres = state
+            return jnp.logical_and(k < N, jnp.any(unres > next_thresh))
+
+        def body(state):
+            rankD, p, r1, unresolved, k, _ = state
+            live = p >= 0
+            q = jnp.where(live, jnp.remainder(p + k, nn), N)
+            n1 = jnp.where(live, jnp.take_along_axis(rankD, q, axis=1), P20)
+            r1c = jnp.where(live, jnp.minimum(r1, P20), P20)
+            A = jnp.where(live, (r1c << 11) | (n1 >> 9), INF)
+            Bv = jnp.where(live, ((n1 & 511) << 20) | p,
+                           np.int32(1 << 29) | jc)
+            As, Bs = _pallas_sort_cols(A, Bv)
+            lives = As != INF
+            ps = jnp.where(lives, Bs & P20, -1)
+            r1s = As >> 11
+            changed_seg = jnp.concatenate(
+                [jnp.ones((B, 1), bool), r1s[:, 1:] != r1s[:, :-1]], axis=1)
+            changed_sub = changed_seg
+            for c in (As, Bs >> 20):
+                changed_sub = changed_sub | jnp.concatenate(
+                    [jnp.ones((B, 1), bool), c[:, 1:] != c[:, :-1]], axis=1)
+            seg_start = lax.cummax(jnp.where(changed_seg, jc, 0), axis=1)
+            sub_start = lax.cummax(jnp.where(changed_sub, jc, 0), axis=1)
+            new_r1 = jnp.where(lives, r1s + (sub_start - seg_start), INF)
+            nxt = jnp.concatenate(
+                [changed_sub[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+            unresolved = jnp.logical_not(changed_sub & nxt) & lives
+            rankD = rankD.at[br, jnp.where(lives, ps, N)].set(
+                jnp.where(lives, new_r1, N))
+            unres = jnp.sum(unresolved.astype(jnp.int32), axis=1)
+            return rankD, ps, new_r1, unresolved, k * 2, unres
+
+        unres0 = p >= 0
+        return lax.while_loop(cond, body, (rankD, p, r1, unres0, k, unres))
+
+    if pallas_sort:
+        compact_stage = compact_stage_pallas
 
     # stage buffers shrink geometrically (x4): each stage runs until the
     # unresolved set fits the next bucket, keeping buffers <=4x oversized.
