@@ -133,11 +133,11 @@ def decompress_with_tail(data, multi_stream: bool = False,
         backend = "native" if _native_available() else "oracle"
     if backend in ("device", "tpu"):
         # TPU decode path (bzip2_tpu/decoder.py): device Huffman/MTF^-1/
-        # RLE2/inverse-BWT/RLE1^-1/CRC with host light-parse; falls back
-        # to the native host decoder internally on any anomaly.
+        # RLE2/inverse-BWT/RLE1^-1/CRC with host light-parse; anomalous
+        # batches are healed on the host per batch.
         from .decoder import default_decoder
-        out = default_decoder().decompress(data)
-        return out, len(bytes(data))
+        return default_decoder().decompress_with_tail(
+            data, multi_stream=multi_stream)
     if backend == "native":
         from . import native
         out, consumed, rc = native.decompress(data, multi_stream=multi_stream)

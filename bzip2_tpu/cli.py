@@ -225,7 +225,13 @@ def _decompress_stream(fin, fout, quiet, force, backend=None):
     try:
         import stat as _stat
         st = os.fstat(fin.fileno())
-        regular = _stat.S_ISREG(st.st_mode) and st.st_size >= (1 << 20)
+        # upper bound: the parallel path holds the compressed file AND its
+        # output in memory, so very large files (spewG-class) stay on the
+        # constant-memory streaming decoder (BZ2TPU_PARALLEL_MAX bytes,
+        # compressed, to override).
+        par_max = int(os.environ.get("BZ2TPU_PARALLEL_MAX", 1 << 28))
+        regular = (_stat.S_ISREG(st.st_mode)
+                   and (1 << 20) <= st.st_size <= par_max)
     except (OSError, AttributeError, ValueError):
         regular = False
     if regular:

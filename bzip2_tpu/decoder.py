@@ -170,24 +170,44 @@ class DeviceDecoder:
         return outs
 
     # ------------------------------------------------------------------
-    def decompress(self, data) -> bytes:
-        """One-shot decode of a (possibly multi-member) .bz2 stream on
-        the device path, with whole-stream host fallback on any anomaly."""
+    def decompress(self, data, multi_stream: bool = True) -> bytes:
+        return self.decompress_with_tail(data, multi_stream)[0]
+
+    def decompress_with_tail(self, data, multi_stream: bool = True):
+        """One-shot decode on the device path.  Batches with any lane
+        anomaly are healed individually on the host (``decode_some`` over
+        just that batch's bit span) and device decode continues; only
+        device *runtime* failures fall back to the host for the whole
+        stream.  Returns (bytes, consumed_byte_offset)."""
+        from .api import DataError, DataErrorMagic, UnexpectedEOF
+
         buf = np.frombuffer(bytes(data), np.uint8)
         try:
-            out, _consumed = self._decompress_stream(buf)
-        except Exception:  # noqa: BLE001 — device runtime flakiness falls
-            out = None     # back to the host decoder below
+            out, consumed = self._decompress_stream(buf, multi_stream)
+        except (DataError, DataErrorMagic, UnexpectedEOF):
+            raise  # host-confirmed corruption: propagate the real error
+        except Exception as e:  # noqa: BLE001 — device runtime flakiness
+            import sys
+            sys.stderr.write(
+                f"bz2tpu: device decode failed ({type(e).__name__}: {e}); "
+                "falling back to the host decoder\n")
+            out = None
         if out is None:
-            res, _, rc = native.decompress(bytes(data), multi_stream=True)
+            res, consumed, rc = native.decompress(
+                bytes(data), multi_stream=multi_stream)
             if res is None:
-                from .api import DataError
+                if rc == native.BZT_DATA_ERROR_MAGIC:
+                    raise DataErrorMagic("bad stream header")
+                if rc == native.BZT_UNEXPECTED_EOF:
+                    raise UnexpectedEOF("stream truncated")
                 raise DataError(f"corrupt stream (rc={rc})")
-            return res
-        return out
+            return res, consumed
+        return out, consumed
 
-    def _decompress_stream(self, buf: np.ndarray):
+    def _decompress_stream(self, buf: np.ndarray, multi_stream: bool = True):
         """Returns (bytes, consumed_bytes) or (None, 0) => host fallback."""
+        from .api import DataError, UnexpectedEOF
+
         parts = []
         pos_bit = 0
         total = buf.size * 8
@@ -202,26 +222,40 @@ class DeviceDecoder:
             level = hdr[3] - 0x30
             pos_bit += 32
             combined = 0
-            while True:
-                magic = self._peek48(buf, pos_bit)
-                if magic < 0:
-                    return None, 0
-                if magic == C.EOS_MAGIC:
-                    # stored combined CRC
-                    pos_bit += 48
-                    if total - pos_bit < 32:
-                        return None, 0
-                    stored = 0
-                    for k in range(32):
-                        byte_i = (pos_bit + k) // 8
-                        bit = (int(buf[byte_i]) >> (7 - (pos_bit + k) % 8)) & 1
-                        stored = (stored << 1) | bit
-                    pos_bit += 32
-                    if stored != combined:
-                        return None, 0
-                    break
-                if magic != C.BLOCK_MAGIC:
-                    return None, 0
+
+            def heal_batch(start_bit, end_bit):
+                """Host-decode exactly [start_bit, end_bit) and fold its
+                blocks into parts/combined (per-batch fallback)."""
+                nonlocal combined
+                import sys
+                sl = np.ascontiguousarray(buf[: (end_bit + 7) // 8])
+                out, next_bit, _lvl, comb2, _st, rc = native.decode_some(
+                    sl, start_bit, level, combined)
+                if out is None or next_bit != end_bit:
+                    raise DataError(
+                        f"corrupt stream (host heal rc={rc})")
+                sys.stderr.write(
+                    "bz2tpu: device lane anomaly; batch healed on host\n")
+                parts.append(out)
+                combined = comb2
+
+            def commit(res, pbs, start_bit, end_bit):
+                nonlocal combined
+                outs = (self._drain_batch(res, pbs)
+                        if res is not None else [None])
+                if res is None or any(o is None for o in outs):
+                    heal_batch(start_bit, end_bit)
+                    return
+                for pb, o in zip(pbs, outs):
+                    combined = (((combined << 1) | (combined >> 31))
+                                & 0xFFFFFFFF) ^ pb.stored_crc
+                    parts.append(o)
+
+            magic = self._peek48(buf, pos_bit)
+            if magic not in (C.EOS_MAGIC, C.BLOCK_MAGIC):
+                return None, 0
+            parse_fail = False
+            if magic == C.BLOCK_MAGIC:
                 # two-stage pipeline: the native parse of batch k+1 (a
                 # GIL-releasing light scan) and the host prep overlap
                 # batch k's device execution; device results are forced
@@ -243,48 +277,55 @@ class DeviceDecoder:
                     return pbs, pos, self._peek48(buf, pos) == C.BLOCK_MAGIC
 
                 pending = None
-                fail = False
                 with _cf.ThreadPoolExecutor(max_workers=1) as ex:
                     fut = ex.submit(parse_batch, pos_bit)
                     while True:
                         parsed = fut.result()
                         if parsed is None:
-                            fail = True
+                            parse_fail = True
                             break
-                        pbs, pos_bit, more = parsed
+                        pbs, newpos, more = parsed
                         if more:
-                            fut = ex.submit(parse_batch, pos_bit)
+                            fut = ex.submit(parse_batch, newpos)
                         res = self._decode_batch(buf, level, pbs)
                         if pending is not None:
-                            outs = self._drain_batch(*pending)
-                            if any(o is None for o in outs):
-                                fail = True
-                                break
-                            for pb, o in zip(pending[1], outs):
-                                combined = (((combined << 1)
-                                             | (combined >> 31))
-                                            & 0xFFFFFFFF) ^ pb.stored_crc
-                                parts.append(o)
-                        if res is None:
-                            fail = True
-                            break
-                        pending = (res, pbs)
+                            commit(*pending)
+                        pending = (res, pbs, pos_bit, newpos)
+                        pos_bit = newpos
                         if not more:
                             break
-                if not fail and pending is not None:
-                    outs = self._drain_batch(*pending)
-                    if any(o is None for o in outs):
-                        fail = True
-                    else:
-                        for pb, o in zip(pending[1], outs):
-                            combined = (((combined << 1) | (combined >> 31))
-                                        & 0xFFFFFFFF) ^ pb.stored_crc
-                            parts.append(o)
-                if fail:
+                if pending is not None:
+                    commit(*pending)
+            if parse_fail:
+                # parse error, randomised legacy block, or truncation:
+                # host-decode the member's remainder and resume
+                out, next_bit, _lvl, comb2, status, rc = native.decode_some(
+                    buf, pos_bit, level, combined)
+                if out is None:
+                    if rc == native.BZT_UNEXPECTED_EOF:
+                        raise UnexpectedEOF("stream truncated")
+                    raise DataError(f"corrupt stream (rc={rc})")
+                if status != 1:
+                    raise UnexpectedEOF("stream truncated")
+                parts.append(out)
+                pos_bit = next_bit
+            else:
+                if self._peek48(buf, pos_bit) != C.EOS_MAGIC:
                     return None, 0
+                pos_bit += 48
+                if total - pos_bit < 32:
+                    return None, 0
+                stored = 0
+                for k in range(32):
+                    byte_i = (pos_bit + k) // 8
+                    bit = (int(buf[byte_i]) >> (7 - (pos_bit + k) % 8)) & 1
+                    stored = (stored << 1) | bit
+                pos_bit += 32
+                if stored != combined:
+                    raise DataError("combined CRC mismatch")
             # byte-align and look for another member
             pos_bit = (pos_bit + 7) // 8 * 8
-            if pos_bit // 8 + 4 <= buf.size and \
+            if multi_stream and pos_bit // 8 + 4 <= buf.size and \
                     bytes(buf[pos_bit // 8: pos_bit // 8 + 3]) == b"BZh":
                 continue
             break

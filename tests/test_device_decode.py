@@ -114,3 +114,38 @@ def test_device_decode_api_and_cli_surface(dec, golden):
     data = golden[1][0]
     comp = stdlib_bz2.compress(data, 1)
     assert api.decompress(comp, backend="device") == data
+
+
+def test_device_decode_tail_and_multistream(dec, golden):
+    data = golden[1][0]
+    comp = stdlib_bz2.compress(data, 1)
+    out, consumed = dec.decompress_with_tail(comp + b"garbagegarbage")
+    assert out == data and consumed == len(comp)
+    # multi_stream=False stops after the first member
+    comp2 = stdlib_bz2.compress(b"tail member", 1)
+    out, consumed = dec.decompress_with_tail(comp + comp2,
+                                             multi_stream=False)
+    assert out == data and consumed == len(comp)
+    out, consumed = dec.decompress_with_tail(comp + comp2,
+                                             multi_stream=True)
+    assert out == data + b"tail member" and consumed == len(comp) + len(comp2)
+
+
+def test_device_decode_batch_heal(dec, golden, monkeypatch, capfd):
+    """A lane anomaly in one batch is healed on the host per batch; the
+    device keeps decoding the rest of the stream."""
+    data = (golden[2][0] * 10)[:1_300_000]
+    comp = stdlib_bz2.compress(data, 1)
+    calls = {"n": 0}
+    real = dec._decode_batch
+
+    def flaky(stream, level, pbs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # simulate a lane anomaly on the first batch
+        return real(stream, level, pbs)
+
+    monkeypatch.setattr(dec, "_decode_batch", flaky)
+    assert dec.decompress(comp) == data
+    assert calls["n"] >= 2, "device decode did not continue after healing"
+    assert "healed on host" in capfd.readouterr().err
