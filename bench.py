@@ -174,19 +174,29 @@ def main(use_device: bool = True):
     #           remaining small host paths)
     from bzip2_tpu import hostmem
     t0 = time.time()
-    hostmem.warm_heap(min(512 << 20, 4 * len(data) + (256 << 20)))
-    t_heap = time.time() - t0
-    t0 = time.time()
+    # heap pre-fault is pure local memory; device-prep is mostly tunnel +
+    # server-side compile/load — overlap them (prepare's own lowering is
+    # the only tunnel-serialized part, and it does not touch the heap).
+    import threading
+    ht = threading.Thread(
+        target=hostmem.warm_heap,
+        args=(min(512 << 20, 4 * len(data) + (256 << 20)),))
+    ht.start()
     if use_device:
         eng.prepare(level)
+    ht.join()
     t_prep = time.time() - t0
     t0 = time.time()
-    warm = eng.compress(data, level)
+    # warm pass on one primary-batch slice (+decode): binds the remaining
+    # dispatch caches and JITs the host glue without paying a full
+    # corpus pass; the timed runs below are median-of-3 anyway.
+    wslice = data[: min(len(data), 12 << 20)]
+    warm = eng.compress(wslice, level)
     native.decompress(warm)
     t_pass = time.time() - t0
-    log(f"warm: corpus {t_corpus:.1f}s + heap {t_heap:.1f}s + "
-        f"device-prep {t_prep:.1f}s + full-pass {t_pass:.1f}s "
-        f"= {t_corpus + t_heap + t_prep + t_pass:.1f}s")
+    log(f"warm: corpus {t_corpus:.1f}s + heap||device-prep {t_prep:.1f}s "
+        f"+ warm-pass {t_pass:.1f}s "
+        f"= {t_corpus + t_prep + t_pass:.1f}s")
 
     def median(xs):
         return sorted(xs)[len(xs) // 2]

@@ -155,7 +155,7 @@ class ParsedBlock:
     __slots__ = ("n_used", "n_groups", "n_selectors", "orig_ptr",
                  "randomised", "n_mtf", "n_groups_used", "sym_start_bit",
                  "end_bit", "stored_crc", "used", "selectors", "lens",
-                 "group_offsets")
+                 "group_offsets", "start_bit")
 
 
 def parse_block(data, start_bit: int, level: int):

@@ -10,6 +10,7 @@ order for the bit splice.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -52,6 +53,183 @@ def build_sharded_encoder(mesh: Mesh, n_words: int, axis: str = "blocks"):
     except TypeError:  # older shard_map API
         sharded = shard_map(local_step, check_rep=False, **kw)
     return jax.jit(sharded)
+
+
+def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
+                          axis: str = "blocks"):
+    """Returns a jitted SPMD block decoder over the mesh (the decode side
+    of the block-DP axis; SURVEY §2.3 / BASELINE config #5).
+
+    Each device runs the single-chip decode stages (ops/decode.py:
+    group-parallel Huffman -> MTF^-1 -> RLE2 -> inverse BWT -> RLE1^-1 ->
+    CRC) on its block shard.  Unlike the single-chip decoder's shared
+    flat bit buffer, every block carries its own ``wt``-word row so the
+    block axis shards cleanly.
+
+    fn(words (B, wt) u32, goff (B, G) i32, gsel (B, G) i32,
+       gvalid (B, G) bool, limit6, base6, perm6, used_list, n_used,
+       n_mtf, orig) -> (raw (B, NOUT) u8, out_len (B,), crc (B,), ok (B,))
+    """
+    from ..ops import decode as D
+
+    N = 100_000 * level
+    NOUT = N + N // 4 + 64
+
+    def local_step(words, goff, gsel, gvalid, limit6, base6, perm6,
+                   used_list, n_used, n_mtf, orig):
+        # decode_symbols expects one flat word buffer with absolute bit
+        # offsets; flatten the shard's per-block rows and rebase (each
+        # row carries a word of slack, so straddled reads stay in-row)
+        bl, wtl = words.shape
+        flat = words.reshape(bl * wtl)
+        goff_abs = goff + (jnp.arange(bl, dtype=jnp.int32)
+                           * (wtl * 32))[:, None]
+        syms = D.decode_symbols(flat, goff_abs, gsel, gvalid, limit6, base6,
+                                perm6)
+        vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
+        last, n_out = D.rle2_expand(syms, vals, n_used, n_mtf, N)
+        out, ok = D.ibwt(last, n_out, orig)
+        raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
+        crc = D.crc32_device(raw, out_len)
+        return raw.astype(jnp.uint8), out_len, crc, ok & fits
+
+    kw = dict(mesh=mesh,
+              in_specs=(P(axis),) * 11,
+              out_specs=(P(axis),) * 4)
+    try:
+        sharded = shard_map(local_step, check_vma=False, **kw)
+    except TypeError:  # older shard_map API
+        sharded = shard_map(local_step, check_rep=False, **kw)
+    return jax.jit(sharded)
+
+
+def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
+                          axis: str = "blocks"):
+    """Decode all blocks of (possibly multi-member) .bz2 ``stream`` on the
+    mesh, block-data-parallel.  Host does the light parse (native
+    bz2tpu_parse_block) and the ordered splice + both CRC layers; every
+    heavy stage runs sharded.  Returns the decompressed bytes.
+
+    Raises ValueError on malformed input (callers with error-code
+    contracts pre-validate via the host decoder)."""
+    from .. import native
+    from .. import constants as C
+    from ..crc import combine_block_crcs
+
+    buf = np.frombuffer(bytes(stream), np.uint8)
+    total = buf.size * 8
+    pos_bit = 0
+    metas = []          # per block: ParsedBlock + word-row data
+    member_crcs = []    # per member: list of stored block CRCs
+    while True:
+        if total - pos_bit < 32 or pos_bit % 8:
+            raise ValueError("bad stream header")
+        hdr = bytes(buf[pos_bit // 8: pos_bit // 8 + 4])
+        if hdr[:3] != b"BZh" or not (0x31 <= hdr[3] <= 0x39):
+            raise ValueError("bad stream header")
+        lvl = hdr[3] - 0x30
+        if level is None:
+            level = lvl
+        elif lvl != level:
+            raise ValueError("mixed levels in stream")
+        pos_bit += 32
+        crcs = []
+        while True:
+            start_bit = pos_bit
+            pb, rc = native.parse_block(buf, pos_bit, lvl)
+            if pb is None:
+                break
+            if pb.randomised:
+                raise ValueError("randomised legacy stream")
+            pb.start_bit = start_bit
+            metas.append(pb)
+            crcs.append(pb.stored_crc)
+            pos_bit = pb.end_bit
+        member_crcs.append(crcs)
+        # EOS: 48-bit magic + 32-bit combined CRC, then byte-align
+        def bits(pos, k):
+            v = 0
+            for j in range(k):
+                if (pos + j) >= total:
+                    raise ValueError("truncated stream")
+                v = (v << 1) | ((int(buf[(pos + j) // 8])
+                                 >> (7 - (pos + j) % 8)) & 1)
+            return v
+        if bits(pos_bit, 48) != C.EOS_MAGIC:
+            raise ValueError("bad end-of-stream magic")
+        stored_comb = bits(pos_bit + 48, 32)
+        if stored_comb != combine_block_crcs(crcs):
+            raise ValueError("combined CRC mismatch")
+        pos_bit += 48 + 32
+        pos_bit = (pos_bit + 7) // 8 * 8
+        if pos_bit // 8 + 4 <= buf.size and \
+                bytes(buf[pos_bit // 8: pos_bit // 8 + 3]) == b"BZh":
+            continue
+        break
+    if not metas:
+        return b""
+
+    from ..ops import decode as D
+    d = mesh.devices.size
+    B = len(metas)
+    Bp = -(-B // d) * d
+    G = max(pb.n_groups_used for pb in metas)
+    need = max(((pb.end_bit + 31) // 32 + 1) - pb.sym_start_bit // 32
+               for pb in metas)
+    wt = 1 << max(6, need - 1).bit_length()
+
+    words = np.zeros((Bp, wt), np.uint32)
+    goff = np.zeros((Bp, G), np.int32)
+    gsel = np.zeros((Bp, G), np.int32)
+    gvalid = np.zeros((Bp, G), bool)
+    limit6 = np.full((Bp, 6, 23), -1, np.int32)
+    base6 = np.zeros((Bp, 6, 23), np.int32)
+    perm6 = np.zeros((Bp, 6, 258), np.int32)
+    used_list = np.zeros((Bp, 256), np.int32)
+    n_used = np.ones(Bp, np.int32)
+    n_mtf = np.ones(Bp, np.int32)
+    orig = np.zeros(Bp, np.int32)
+    for i, pb in enumerate(metas):
+        wbase = pb.sym_start_bit // 32
+        span = buf[wbase * 4: min(((pb.end_bit + 31) // 32 + 1) * 4,
+                                  buf.size)]
+        wbytes = np.zeros(wt * 4, np.uint8)
+        wbytes[: span.size] = span
+        words[i] = wbytes.view(">u4").astype(np.uint32)
+        g = pb.n_groups_used
+        goff[i, :g] = pb.group_offsets - wbase * 32
+        gsel[i, :g] = pb.selectors[:g]
+        gvalid[i, :g] = True
+        limit6[i], base6[i], perm6[i] = D.build_tables_np(
+            pb.lens, pb.n_used + 2)
+        ul = np.flatnonzero(pb.used)
+        used_list[i, : ul.size] = ul
+        n_used[i] = pb.n_used
+        n_mtf[i] = pb.n_mtf
+        orig[i] = pb.orig_ptr
+
+    fn = build_sharded_decoder(mesh, level, wt, G, axis=axis)
+    raw, out_len, crc, ok = fn(words, goff, gsel, gvalid, limit6, base6,
+                               perm6, used_list, n_used, n_mtf, orig)
+    raw = np.asarray(raw)
+    out_len = np.asarray(out_len)
+    crc = np.asarray(crc)
+    ok = np.asarray(ok)
+    parts = []
+    for i, pb in enumerate(metas):
+        if not bool(ok[i]) or int(crc[i]) != pb.stored_crc:
+            # lane anomaly (e.g. walker-cap on skewed cycles): heal this
+            # block on the host, same policy as the single-chip decoder
+            sl = np.ascontiguousarray(buf[: (pb.end_bit + 7) // 8])
+            out, next_bit, _l, _c, _s, rc2 = native.decode_some(
+                sl, pb.start_bit, level, 0)
+            if out is None or next_bit != pb.end_bit:
+                raise ValueError(f"block {i} failed sharded decode "
+                                 f"(host rc={rc2})")
+            parts.append(out)
+            continue
+        parts.append(raw[i, : int(out_len[i])].tobytes())
+    return b"".join(parts)
 
 
 def encode_blocks_sharded(mesh, blocks_np, n_np, in_use_np, crc_np, n_words):

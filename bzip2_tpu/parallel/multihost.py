@@ -166,10 +166,15 @@ def compress_sharded(shard: bytes, level: int = 9) -> bytes | None:
     return splice(parts)[0].tobytes()
 
 
-def decompress_members(stream: bytes) -> bytes | None:
+def decompress_members(stream: bytes, backend: str = "native") -> bytes | None:
     """Member-grain multi-host decode: every process decodes its
     round-robin share of the concatenated stream's members; process 0
-    returns the full output (None elsewhere)."""
+    returns the full output (None elsewhere).
+
+    backend="device" decodes each local member's blocks on the process's
+    local device mesh (parallel/mesh.py sharded decoder — block-DP inside
+    the member, member-DP across hosts: BASELINE config #5); "native"
+    uses the host runtime."""
     import jax
 
     from .. import native
@@ -179,9 +184,19 @@ def decompress_members(stream: bytes) -> bytes | None:
     H = jax.process_count()
     starts = find_member_offsets(stream)
     offs = [(s, e) for s, e in zip(starts, starts[1:] + [len(stream)])]
+    mesh = None
+    if backend == "device":
+        from .mesh import decode_blocks_sharded, make_mesh
+        mesh = make_mesh(jax.local_devices())
     outs = {}
     for i, (start, end) in enumerate(offs):
         if i % H == pid:
+            if mesh is not None:
+                try:
+                    outs[i] = decode_blocks_sharded(mesh, stream[start:end])
+                    continue
+                except ValueError:
+                    pass  # randomised/malformed member: host decode below
             out, _, rc = native.decompress(stream[start:end])
             if out is None:
                 raise ValueError(f"member {i} corrupt (rc={rc})")

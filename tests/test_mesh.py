@@ -80,3 +80,22 @@ def test_combined_crc_fold_is_associative(rng):
     fa, fb = fold(0, a), fold(0, b)
     rot = lambda x, k: ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
     assert serial == rot(fa, len(b) % 32) ^ fb
+
+
+def test_sharded_decode_roundtrip(rng):
+    """Block-DP decode on the mesh: stock-produced stream, multi-member."""
+    import bz2 as _bz2
+    from bzip2_tpu.parallel.mesh import decode_blocks_sharded
+    data = rng.integers(97, 105, 12 * 95_000, dtype=np.uint8).tobytes()
+    comp = _bz2.compress(data, 1)
+    mesh = make_mesh(jax.devices())
+    assert decode_blocks_sharded(mesh, comp, 1) == data
+    # multi-member
+    comp2 = _bz2.compress(b"second member " * 1000, 1)
+    got = decode_blocks_sharded(mesh, comp + comp2, 1)
+    assert got == data + b"second member " * 1000
+    # corrupt input raises, never mis-decodes
+    bad = bytearray(comp)
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_blocks_sharded(mesh, bytes(bad), 1)

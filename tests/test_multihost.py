@@ -41,7 +41,7 @@ if pid == 0:
 # member-grain decode: 3 concatenated members
 stream = (bz2.compress(data[:50_000], 1) + bz2.compress(b"second member", 9)
           + bz2.compress(data[50_000:], 1))
-dec = multihost.decompress_members(stream)
+dec = multihost.decompress_members(stream, backend="device")
 if pid == 0:
     exp = data[:50_000] + b"second member" + data[50_000:]
     open(tmp + "/dec_result.txt", "w").write("OK" if dec == exp else "MISMATCH")
