@@ -451,7 +451,19 @@ class Engine:
                                  * len(host_threads))
                     backlog = (state["dev_inflight"] + 1) * sched["dev_wall"]
                     if remaining <= host_rate * backlog * 0.9:
-                        return 0, 0
+                        # Starvation guard: a dev_wall poisoned high by a
+                        # one-off stall (cold compile, tunnel hiccup) would
+                        # otherwise make the device decline forever — the
+                        # min-biased estimate can only correct if batches
+                        # actually run.  Probe with one batch when the
+                        # device is idle and the stream is long enough
+                        # that a slow probe cannot gate it.
+                        sched["declines"] = sched.get("declines", 0) + 1
+                        if not (state["dev_inflight"] == 0
+                                and remaining > 3 * bsz
+                                and sched["declines"] >= 8):
+                            return 0, 0
+                        sched["declines"] = 0
                 take = min(bsz, remaining)
                 s = state["lo"]
                 state["lo"] += take

@@ -198,6 +198,14 @@ struct BitRd {
   int n = 0;  // valid low bits of buf
 
   bool fill() {
+    // bulk refill: 32 bits at a time while 4+ input bytes remain
+    while (n <= 32 && end - p >= 4) {
+      u32 w;
+      memcpy(&w, p, 4);
+      buf = (buf << 32) | __builtin_bswap32(w);
+      p += 4;
+      n += 32;
+    }
     while (n <= 56 && p < end) { buf = (buf << 8) | *p++; n += 8; }
     return n > 0;
   }
@@ -455,7 +463,11 @@ static i32 decode_block_symbols(BitRd& br, i32 max_block, u8* blk,
     if (sym == eob) break;
     i32 p = sym - 1;
     u8 c = mtf[p];
-    memmove(mtf + 1, mtf, p);
+    if (p <= 16) {  // common case: short shift beats memmove's setup
+      for (i32 q = p; q > 0; q--) mtf[q] = mtf[q - 1];
+    } else {
+      memmove(mtf + 1, mtf, p);
+    }
     mtf[0] = c;
     if (n >= max_block) return BZT_DATA_ERROR;
     cftab[c + 1]++;
@@ -656,7 +668,8 @@ static void build_tt(const u8* blk, i32 n, i32* cftab, u32* tt_chain,
 }
 
 enum {
-  DEC_K = 16,        // interleaved chains (buffers allocate lazily)
+  DEC_K = 18,        // interleaved chains; 18 is the u32 ceiling:
+                     // (DEC_K * DEC_MAXB) << 8 must fit 32 bits
   DEC_MAXB = 900000, // compile-time chain stride (= level-9 max block)
 };
 
@@ -745,7 +758,9 @@ static void chase_batch(const DecBatch& b, i32 nmax) {
     case 13: chase_kg<13>(tt, out, t0, nmax); break;
     case 14: chase_kg<14>(tt, out, t0, nmax); break;
     case 15: chase_kg<15>(tt, out, t0, nmax); break;
-    default: chase_kg<16>(tt, out, t0, nmax); break;
+    case 16: chase_kg<16>(tt, out, t0, nmax); break;
+    case 17: chase_kg<17>(tt, out, t0, nmax); break;
+    default: chase_kg<18>(tt, out, t0, nmax); break;
   }
 }
 

@@ -134,7 +134,7 @@ def test_device_decode_tail_and_multistream(dec, golden):
 def test_device_decode_batch_heal(dec, golden, monkeypatch, capfd):
     """A lane anomaly in one batch is healed on the host per batch; the
     device keeps decoding the rest of the stream."""
-    data = (golden[2][0] * 10)[:1_300_000]
+    data = (golden[2][0] * 24)[:2_900_000]
     comp = stdlib_bz2.compress(data, 1)
     calls = {"n": 0}
     real = dec._decode_batch

@@ -107,12 +107,42 @@ def bench_spew(total: int) -> None:
     assert ok
 
 
+def bench_level_matrix(size: int) -> None:
+    """Bit-exact matrix vs stock across every level -1..-9 at scale
+    (BASELINE: "all levels -1..-9")."""
+    import bz2 as stdlib
+
+    from bench import make_corpus
+    from bzip2_tpu import api
+
+    data = make_corpus(size)
+    log(f"[level-matrix] corpus {len(data)/1e6:.0f} MB")
+    for level in range(1, 10):
+        t0 = time.time()
+        comp = api.compress(data, level)
+        t_enc = time.time() - t0
+        exp = stdlib.compress(data, level)
+        exact = comp == exp
+        t0 = time.time()
+        out = api.decompress(comp)
+        t_dec = time.time() - t0
+        assert out == data, f"round-trip mismatch at -{level}"
+        log(f"[level-matrix] -{level}: encode {len(data)/1e6/t_enc:5.1f} MB/s"
+            f"  decode {len(data)/1e6/t_dec:5.1f} MB/s"
+            f"  ratio {len(data)/len(comp):5.2f}:1  bit-exact={exact}")
+        assert exact, f"not bit-exact vs stock at -{level}"
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--spew-gb", type=float, default=2.5)
+    ap.add_argument("--levels", action="store_true",
+                    help="run the -1..-9 bit-exact matrix only")
     args = ap.parse_args()
-    if args.small:
+    if args.levels:
+        bench_level_matrix((10 << 20) if args.small else (105 << 20))
+    elif args.small:
         bench_100mb(10 << 20)
         bench_spew(64 << 20)
     else:
