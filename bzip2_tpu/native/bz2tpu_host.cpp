@@ -690,8 +690,8 @@ struct DecBatch {
   bool ensure(int s) {
     if (!tt_all) {
       // one contiguous table (global successor indices address the whole
-      // thing); virtual until touched, and glibc retention (set by the
-      // Python layer) keeps the pages warm across calls.
+      // thing); all sizes are level-independent constants so the cached
+      // instance below never reallocates.  Virtual until touched.
       tt_all = (u32*)malloc((i64)DEC_K * DEC_MAXB * 4);
       chase_all = (u8*)malloc((i64)DEC_K * DEC_MAXB);
       if (!tt_all || !chase_all) return false;
@@ -700,7 +700,7 @@ struct DecBatch {
     }
     DecSlot& d = sl[s];
     if (!d.blk) {
-      d.blk = (u8*)malloc(max_block);
+      d.blk = (u8*)malloc(DEC_MAXB);
       if (!d.blk) return false;
     }
     return true;
@@ -712,6 +712,14 @@ struct DecBatch {
     count = 0;
   }
 };
+
+// Persistent per-thread decode buffers: the first-touch fault cost of the
+// ~90 MB working set on this VM class (and general heap churn between
+// calls) would otherwise be repaid on every decompress call.  Thread-local
+// because ctypes releases the GIL, so parallel decodes may overlap.
+static thread_local DecBatch g_dec_batch;
+
+void bz2tpu_free_decode_cache() { g_dec_batch.release(); }
 
 // Interleaved chain chase over KN <= DEC_K blocks.  Each chain is a serial
 // dependency, but KN chains give the core KN outstanding cache misses
@@ -897,7 +905,8 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
   int streams_done = 0;
   bool multi = (flags & 1) != 0;
 
-  DecBatch batch;
+  DecBatch& batch = g_dec_batch;
+  batch.count = 0;
 
   while (true) {  // stream loop
     if (!br.have(8)) {
@@ -922,10 +931,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
     }
     {
       i32 max_block = 100000 * (i32)h;
-      if (max_block > batch.max_block) {
-        batch.release();
-        batch.max_block = max_block;
-      }
+      batch.max_block = max_block;
       u32 combined = 0;
       while (true) {  // block loop
         u32 mag_hi, mag_lo;
@@ -959,7 +965,7 @@ i32 bz2tpu_decompress(const u8* data, i64 len, int flags, u8** out,
   }
 
 done:
-  batch.release();
+  batch.count = 0;
   if (err == BZT_OK) {
     *out = ob.p;
     *out_len = ob.len;
@@ -1001,7 +1007,8 @@ i32 bz2tpu_decode_some(const u8* data, i64 len, i64 start_bit, i32 level_in,
   if (start_bit & 7) { br.fill(); br.drop((int)(start_bit & 7)); }
   i64 done_bit = start_bit;  // last committed boundary
 
-  DecBatch batch;
+  DecBatch& batch = g_dec_batch;
+  batch.count = 0;
 
   if (level == 0) {
     if (!br.have(32)) goto need_more;
@@ -1062,7 +1069,7 @@ need_more:
     if (err == BZT_OK) done_bit = last;
   }
 done:
-  batch.release();
+  batch.count = 0;
   if (err == BZT_OK) {
     *out = ob.p;
     *out_len = ob.len;
