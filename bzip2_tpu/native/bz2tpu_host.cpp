@@ -1566,10 +1566,27 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   for (i32 i = 0; i < n; i++) {
     u8 sym = remap[last[i]];
     if (mtf[0] == sym) { zrun++; continue; }
-    i32 p = 1;
+    i32 p;
+#ifdef __AVX2__
+    {  // SIMD rank search: one 32-byte compare covers the common case
+      const __m256i t = _mm256_set1_epi8((char)sym);
+      p = 0;
+      for (i32 c = 0; ; c += 32) {
+        u32 m = (u32)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(mtf + c)), t));
+        if (m) { p = c + (i32)__builtin_ctz(m); break; }
+      }
+    }
+#else
+    p = 1;
     while (mtf[p] != sym) p++;
+#endif
     if (zrun) flush_run();
-    memmove(mtf + 1, mtf, p);
+    if (p <= 16) {
+      for (i32 q = p; q > 0; q--) mtf[q] = mtf[q - 1];
+    } else {
+      memmove(mtf + 1, mtf, p);
+    }
     mtf[0] = sym;
     mtfv.push_back((u16)(p + 1));
     freq[p + 1]++;
@@ -1610,6 +1627,31 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   i32 new_freq[6][258];
   for (i32 it = 0; it < 4; it++) {
     memset(new_freq, 0, sizeof new_freq);
+#ifdef __SSE2__
+    // transpose lens to one 8x16-bit row per symbol: the 50-symbol cost
+    // accumulation becomes one load + one vector add per symbol (6 lanes
+    // live; max sum 50*23 fits u16)
+    alignas(16) u16 lens_pack[258][8];
+    for (i32 v = 0; v < alpha; v++) {
+      for (i32 t2 = 0; t2 < 6; t2++)
+        lens_pack[v][t2] = (u16)(t2 < n_groups ? lens[t2][v] : 0);
+      lens_pack[v][6] = lens_pack[v][7] = 0;
+    }
+    for (i64 g = 0; g < n_sel; g++) {
+      i64 lo = g * 50, hi = lo + 50 < n_mtf ? lo + 50 : n_mtf;
+      __m128i acc = _mm_setzero_si128();
+      for (i64 i = lo; i < hi; i++)
+        acc = _mm_add_epi16(
+            acc, _mm_load_si128((const __m128i*)lens_pack[mtfv[i]]));
+      alignas(16) u16 cost[8];
+      _mm_store_si128((__m128i*)cost, acc);
+      i32 best = 0;
+      for (i32 t2 = 1; t2 < n_groups; t2++)
+        if (cost[t2] < cost[best]) best = t2;   // first minimum wins
+      selectors[g] = (u8)best;
+      for (i64 i = lo; i < hi; i++) new_freq[best][mtfv[i]]++;
+    }
+#else
     for (i64 g = 0; g < n_sel; g++) {
       i64 lo = g * 50, hi = lo + 50 < n_mtf ? lo + 50 : n_mtf;
       i32 cost[6] = {0, 0, 0, 0, 0, 0};
@@ -1623,6 +1665,7 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       selectors[g] = (u8)best;
       for (i64 i = lo; i < hi; i++) new_freq[best][mtfv[i]]++;
     }
+#endif
     for (i32 t2 = 0; t2 < n_groups; t2++)
       huff_lengths_one(new_freq[t2], alpha, 17, lens[t2]);
   }
