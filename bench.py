@@ -194,10 +194,10 @@ def main(use_device: bool = True):
     warm = eng.compress(wslice, level)
     native.decompress(warm)
     t_pass = time.time() - t0
-    # the warm pass may include one-off compile/load stalls in its device
-    # batch walls; reset the scheduler telemetry so the timed runs measure
-    # honest rates instead of inheriting a poisoned-high dev_wall
-    eng._sched.update({"host_done": 0, "host_time": 0.0, "dev_wall": 0.0})
+    # reset host-rate telemetry (the warm slice skews it); keep dev_wall:
+    # the warm-measured device wall (even if pessimistic) lets the
+    # scheduler decline honestly instead of gating run 1 on a blind claim
+    eng._sched.update({"host_done": 0, "host_time": 0.0})
     log(f"warm: corpus {t_corpus:.1f}s + heap||device-prep {t_prep:.1f}s "
         f"+ warm-pass {t_pass:.1f}s "
         f"= {t_corpus + t_prep + t_pass:.1f}s")

@@ -24,9 +24,9 @@ import numpy as np
 from . import constants as C
 from . import native
 
-#: blocks per device batch (amortizes per-sync tunnel latency and the
-#: host parse/prep per block; 16 x 900k blocks stay well inside HBM)
-BATCH = 16
+#: blocks per device batch (8 measured fastest: 16-block stage programs
+#: compile to ~4x slower schedules on this chip — wider is not better)
+BATCH = 8
 #: walkers per block in the inverse-BWT splitter walk
 WALKERS = 512
 
@@ -232,30 +232,35 @@ class DeviceDecoder:
             pos_bit += 32
             combined = 0
 
-            def heal_batch(start_bit, end_bit):
-                """Host-decode exactly [start_bit, end_bit) and fold its
-                blocks into parts/combined (per-batch fallback)."""
-                nonlocal combined
-                import sys
+            def heal_span(start_bit, end_bit, comb_in):
+                """Host-decode exactly [start_bit, end_bit); returns
+                (bytes, combined_out)."""
                 sl = np.ascontiguousarray(buf[: (end_bit + 7) // 8])
                 out, next_bit, _lvl, comb2, _st, rc = native.decode_some(
-                    sl, start_bit, level, combined)
+                    sl, start_bit, level, comb_in)
                 if out is None or next_bit != end_bit:
-                    raise DataError(
-                        f"corrupt stream (host heal rc={rc})")
-                sys.stderr.write(
-                    "bz2tpu: device lane anomaly; batch healed on host\n")
-                parts.append(out)
-                combined = comb2
+                    raise DataError(f"corrupt stream (host heal rc={rc})")
+                return out, comb2
 
             def commit(res, pbs, start_bit, end_bit):
                 nonlocal combined
+                import sys
                 outs = (self._drain_batch(res, pbs)
-                        if res is not None else [None])
-                if res is None or any(o is None for o in outs):
-                    heal_batch(start_bit, end_bit)
+                        if res is not None else None)
+                if outs is None:  # whole-batch device failure
+                    sys.stderr.write("bz2tpu: device batch anomaly; "
+                                     "batch healed on host\n")
+                    out, combined = heal_span(start_bit, end_bit, combined)
+                    parts.append(out)
                     return
                 for pb, o in zip(pbs, outs):
+                    if o is None:
+                        # one lane flagged (walker cap on a skewed cycle,
+                        # CRC mismatch): heal just this block — the rest
+                        # of the batch keeps its device results
+                        sys.stderr.write("bz2tpu: device lane anomaly; "
+                                         "block healed on host\n")
+                        o, _ = heal_span(pb.start_bit, pb.end_bit, 0)
                     combined = (((combined << 1) | (combined >> 31))
                                 & 0xFFFFFFFF) ^ pb.stored_crc
                     parts.append(o)
@@ -279,6 +284,7 @@ class DeviceDecoder:
                             return (pbs, pos, False) if pbs else None
                         if pb.randomised:
                             return None     # legacy path: host decoder
+                        pb.start_bit = pos  # for single-block host healing
                         pbs.append(pb)
                         pos = pb.end_bit
                         if self._peek48(buf, pos) != C.BLOCK_MAGIC:

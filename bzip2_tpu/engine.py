@@ -460,7 +460,7 @@ class Engine:
                         # that a slow probe cannot gate it.
                         sched["declines"] = sched.get("declines", 0) + 1
                         if not (state["dev_inflight"] == 0
-                                and remaining > 3 * bsz
+                                and remaining > 5 * bsz
                                 and sched["declines"] >= 8):
                             return 0, 0
                         sched["declines"] = 0
