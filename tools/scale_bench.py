@@ -115,6 +115,8 @@ def bench_level_matrix(size: int) -> None:
     from bench import make_corpus
     from bzip2_tpu import api
 
+    from bzip2_tpu import hostmem
+    hostmem.set_malloc_retention()
     data = make_corpus(size)
     log(f"[level-matrix] corpus {len(data)/1e6:.0f} MB")
     for level in range(1, 10):
@@ -123,6 +125,7 @@ def bench_level_matrix(size: int) -> None:
         t_enc = time.time() - t0
         exp = stdlib.compress(data, level)
         exact = comp == exp
+        api.decompress(comp)  # page/THP warm, untimed
         t0 = time.time()
         out = api.decompress(comp)
         t_dec = time.time() - t0
