@@ -1282,9 +1282,32 @@ static void sais_t(const C* s, i32* SA, i32 n, i32 K) {
 //     primitive (a cyclic period in names would lift to one in the text),
 //     so the recursion keeps the invariant.
 // Callers guarantee primitivity by reducing to the KMP root first.
+// BZ2TPU_SAIS_TIMING=1 prints per-call stage laps (u8 top level only).
+static bool g_sais_dbg_init = false, g_sais_dbg = false;
+struct SaisLap {
+  struct timespec t0;
+  bool on;
+  explicit SaisLap(bool enable) : on(enable) {
+    if (on) clock_gettime(CLOCK_MONOTONIC, &t0);
+  }
+  void lap(const char* what, i64 n) {
+    if (!on) return;
+    struct timespec t1;
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    fprintf(stderr, "[sais] %-8s %.4f n=%lld\n", what,
+            (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec),
+            (long long)n);
+    t0 = t1;
+  }
+};
 template <typename C>
 static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   if (n == 1) { SA[0] = 0; return; }
+  if (!g_sais_dbg_init) {
+    g_sais_dbg = getenv("BZ2TPU_SAIS_TIMING") != nullptr;
+    g_sais_dbg_init = true;
+  }
+  SaisLap lap_(g_sais_dbg && sizeof(C) == 1);
   std::vector<u8> t(n);
   i32 anchor = -1;
   for (i32 i = 0; i < n; i++) {
@@ -1353,20 +1376,107 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
     }
   };
 
+  // Packed induce (u8 top level, n < 2^20): each occupied SA slot carries
+  // (t[x] << 29) | (x << 9) | c[x-1], so the bucket-counter update — the
+  // serial dependence chain of induced sorting — no longer waits on the
+  // random c[x-1] load; the only random read (c[x-2], for the value being
+  // stored) is off the critical path and overlaps across iterations.
+  const bool packed = (sizeof(C) == 1) && n < (1 << 20);
+  auto pk = [&](i32 x, u32 cx, u32 cx1) -> i32 {
+    return (i32)(((cx & 1u) << 29) | ((u32)x << 9) | cx1);
+  };
+  auto induce_p = [&]() {
+    bucket_start();
+    for (i32 i = 0; i < n; i++) {
+      if (i + 24 < n) {
+        i32 a = SA[i + 24];
+        if (a >= 0) {
+          i32 x = (a >> 9) & 0xFFFFF;
+          __builtin_prefetch(&c[x >= 2 ? x - 2 : 0]);
+        }
+      }
+      i32 v = SA[i];
+      if (v >= 0) {
+        u32 cx1 = (u32)v & 511u;
+        if (!(cx1 & 1)) {
+          i32 x = (v >> 9) & 0xFFFFF;
+          i32 xp = x ? x - 1 : n - 1;
+          i32 xpp = xp ? xp - 1 : n - 1;
+          SA[bkt[cx1 >> 1]++] = pk(xp, cx1, (u32)c[xpp]);
+        }
+      }
+    }
+    bucket_end();
+    for (i32 i = n - 1; i >= 0; i--) {
+      if (i - 24 >= 0) {
+        i32 a = SA[i - 24];
+        if (a >= 0) {
+          i32 x = (a >> 9) & 0xFFFFF;
+          __builtin_prefetch(&c[x >= 2 ? x - 2 : 0]);
+        }
+      }
+      i32 v = SA[i];
+      if (v >= 0) {
+        u32 cx1 = (u32)v & 511u;
+        if (cx1 & 1) {
+          i32 x = (v >> 9) & 0xFFFFF;
+          i32 xp = x ? x - 1 : n - 1;
+          i32 xpp = xp ? xp - 1 : n - 1;
+          SA[--bkt[cx1 >> 1]] = pk(xp, cx1, (u32)c[xpp]);
+        }
+      }
+    }
+  };
+
+  lap_.lap("prep", n);
   // stage 1: approximate LMS order, induce, then name cyclic LMS substrings
   std::fill(SA, SA + n, -1);
   bucket_end();
   i32 n1 = 0;
-  for (i32 i = 0; i < n; i++)
-    if (is_lms(i)) { SA[--bkt[s[i]]] = i; n1++; }
-  induce();
+  if (packed) {
+    for (i32 i = 0; i < n; i++)
+      if (is_lms(i)) {
+        SA[--bkt[s[i]]] = pk(i, (u32)c[i], (u32)c[i ? i - 1 : n - 1]);
+        n1++;
+      }
+    induce_p();
+  } else {
+    for (i32 i = 0; i < n; i++)
+      if (is_lms(i)) { SA[--bkt[s[i]]] = i; n1++; }
+    induce();
+  }
+  lap_.lap("induce1", n);
 
   {
     i32 k = 0;
-    for (i32 i = 0; i < n; i++)
-      if (is_lms(SA[i])) SA[k++] = SA[i];
+    if (packed) {
+      // is_lms(x) == t[x] && !t[x-1]; both ride in the packed slot
+      for (i32 i = 0; i < n; i++) {
+        i32 v = SA[i];
+        if (((v >> 29) & 1) && !(v & 1)) SA[k++] = (v >> 9) & 0xFFFFF;
+      }
+    } else {
+      for (i32 i = 0; i < n; i++)
+        if (is_lms(SA[i])) SA[k++] = SA[i];
+    }
   }
   std::fill(SA + n1, SA + n, -1);
+  // Cyclic LMS-substring lengths (distance to the next LMS), keyed pos/2
+  // like the name slots: two substrings are equal iff their lengths match
+  // and the fused (char,type) span matches inclusive of the terminal LMS —
+  // which lets equal-length candidates resolve via one memcmp instead of
+  // the entry-at-a-time walk.
+  std::vector<i32> lms_len(n / 2 + 1);
+  {
+    i32 first = -1, prevp = -1;
+    for (i32 i = 0; i < n; i++)
+      if (is_lms(i)) {
+        if (prevp >= 0) lms_len[prevp / 2] = i - prevp;
+        else first = i;
+        prevp = i;
+      }
+    if (prevp >= 0) lms_len[prevp / 2] = n - prevp + first;
+  }
   i32 name = 0, prev = -1;
   for (i32 i = 0; i < n1; i++) {
     i32 pos = SA[i];
@@ -1374,15 +1484,18 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
     if (prev < 0) {
       diff = true;
     } else {
-      i32 a = pos, b = prev;
-      for (i32 d = 0; d < n; d++) {
-        if (c[a] != c[b]) { diff = true; break; }
-        if (d > 0) {
-          bool la = is_lms(a), lb = is_lms(b);
-          if (la || lb) { diff = !(la && lb); break; }
+      i32 la = lms_len[pos / 2];
+      if (la != lms_len[prev / 2]) {
+        diff = true;
+      } else if (pos + la < n && prev + la < n) {
+        diff = memcmp(&c[pos], &c[prev], (size_t)(la + 1) * sizeof(F)) != 0;
+      } else {  // a span wraps the cyclic boundary (at most one per string)
+        i32 a = pos, b = prev;
+        for (i32 d = 0; d <= la; d++) {
+          if (c[a] != c[b]) { diff = true; break; }
+          a = (a + 1 == n) ? 0 : a + 1;
+          b = (b + 1 == n) ? 0 : b + 1;
         }
-        a = (a + 1 == n) ? 0 : a + 1;
-        b = (b + 1 == n) ? 0 : b + 1;
       }
     }
     if (diff) { name++; prev = pos; }
@@ -1390,6 +1503,7 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   }
   for (i32 i = n - 1, j = n - 1; i >= n1; i--)
     if (SA[i] >= 0) SA[j--] = SA[i];
+  lap_.lap("name", n1);
 
   // stage 2: exact LMS rotation order (recurse while names collide)
   i32* SA1 = SA;
@@ -1399,6 +1513,7 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   } else {
     for (i32 i = 0; i < n1; i++) SA1[s1[i]] = i;
   }
+  lap_.lap("recurse", n1);
   {
     i32 k = 0;
     for (i32 i = 0; i < n; i++)
@@ -1409,12 +1524,23 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   // stage 3: final induced sort from the exact LMS order
   std::fill(SA + n1, SA + n, -1);
   bucket_end();
-  for (i32 i = n1 - 1; i >= 0; i--) {
-    i32 j = SA[i];
-    SA[i] = -1;
-    SA[--bkt[s[j]]] = j;
+  if (packed) {
+    for (i32 i = n1 - 1; i >= 0; i--) {
+      i32 j = SA[i];
+      SA[i] = -1;
+      SA[--bkt[s[j]]] = pk(j, (u32)c[j], (u32)c[j ? j - 1 : n - 1]);
+    }
+    induce_p();
+    for (i32 i = 0; i < n; i++) SA[i] = (SA[i] >> 9) & 0xFFFFF;
+  } else {
+    for (i32 i = n1 - 1; i >= 0; i--) {
+      i32 j = SA[i];
+      SA[i] = -1;
+      SA[--bkt[s[j]]] = j;
+    }
+    induce();
   }
-  induce();
+  lap_.lap("induce2", n);
 }
 
 extern "C" {
