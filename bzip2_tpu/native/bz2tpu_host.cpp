@@ -229,7 +229,9 @@ struct Group {
   i32 base[25];    // code - base = perm index
   i32 min_len, max_len;
   i16 perm[258];
-  // fast table: FAST_BITS-wide prefix -> (sym<<5)|len when len<=FAST_BITS
+  // fast table: FAST_BITS-wide prefix -> -1 slow path, else bit0 = pair
+  // flag, bits[1:5) l1, [5:9) l2, [9:18) sym1, [18:27) sym2 (a pair entry
+  // decodes two complete codes per lookup)
   enum { FAST_BITS = 10 };
   i32 fast[1 << FAST_BITS];
 };
@@ -275,6 +277,28 @@ static bool build_group(Group& g, const u8* lens, i32 alpha) {
     }
     c2 <<= 1;
   }
+  // pair pass: when the window provably holds two complete codes, one
+  // lookup decodes both.  Final encoding: -1 slow; else bit0 = pair flag,
+  // bits[1:5) l1, [5:9) l2, [9:18) sym1, [18:27) sym2.  sym1 == EOB is
+  // kept single so the decoder never consumes bits past the block end.
+  {
+    i32 tmp[1 << Group::FAST_BITS];
+    const i32 mask = (1 << Group::FAST_BITS) - 1;
+    i32 eob = alpha - 1;
+    for (i32 v = 0; v <= mask; v++) {
+      i32 f = g.fast[v];
+      if (f < 0) { tmp[v] = -1; continue; }
+      i32 l1 = f & 31, s1 = f >> 5;
+      i32 e = (l1 << 1) | (s1 << 9);
+      if (s1 != eob && l1 < Group::FAST_BITS) {
+        i32 f2 = g.fast[(v << l1) & mask];
+        if (f2 >= 0 && (f2 & 31) <= Group::FAST_BITS - l1)
+          e |= 1 | ((f2 & 31) << 5) | ((f2 >> 5) << 18);
+      }
+      tmp[v] = e;
+    }
+    memcpy(g.fast, tmp, sizeof tmp);
+  }
   return true;
 }
 
@@ -317,6 +341,7 @@ struct RandState {
 // Appends the block's raw bytes to ob and folds its CRC into *combined.
 // Returns BZT_OK / BZT_DATA_ERROR / BZT_UNEXPECTED_EOF / BZT_MEM_ERROR.
 static double g_dec_t[5];
+static i64 g_dec_pairs, g_dec_singles, g_dec_slow;
 static void dec_lap(int k, struct timespec* t0) {
   if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
   struct timespec t1;
@@ -328,9 +353,12 @@ void bz2tpu_dump_dec_timing() {
   if (!getenv("BZ2TPU_DEBUG_TIMING")) return;
   fprintf(stderr,
           "[dec] hdr %.3fs  huff/mtf %.3fs  ibwt-build %.3fs  chase %.3fs  "
-          "expand+crc %.3fs\n",
-          g_dec_t[0], g_dec_t[1], g_dec_t[2], g_dec_t[3], g_dec_t[4]);
+          "expand+crc %.3fs  pairs %lld singles %lld slow %lld\n",
+          g_dec_t[0], g_dec_t[1], g_dec_t[2], g_dec_t[3], g_dec_t[4],
+          (long long)g_dec_pairs, (long long)g_dec_singles,
+          (long long)g_dec_slow);
   memset(g_dec_t, 0, sizeof g_dec_t);
+  g_dec_pairs = g_dec_singles = g_dec_slow = 0;
 }
 
 // Split block decode: a bit-serial symbol phase and a memory-bound chain
@@ -418,20 +446,33 @@ static i32 decode_block_symbols(BitRd& br, i32 max_block, u8* blk,
   Group* gr = nullptr;
   i64 run = 0;
   i32 run_bit = 0;
+  i32 pending = -1;  // second symbol of a paired fast-table hit
   for (;;) {
-    if (group_pos == 0) {
-      if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
-      gr = &groups[selectors[group_no]];
-      group_pos = 50;
-    }
-    group_pos--;
     i32 sym;
-    {
+    if (pending >= 0) {
+      sym = pending;
+      pending = -1;
+    } else {
+      if (group_pos == 0) {
+        if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
+        gr = &groups[selectors[group_no]];
+        group_pos = 50;
+      }
       u32 v = br.peek(Group::FAST_BITS);
       i32 f = gr->fast[v];
-      if (f >= 0 && br.have(f & 31)) {
-        sym = f >> 5;
-        br.drop(f & 31);
+      i32 l1 = (f >> 1) & 15;
+      if (f >= 0 && (f & 1) && group_pos >= 2 &&
+          br.have(l1 + ((f >> 5) & 15))) {
+        br.drop(l1 + ((f >> 5) & 15));
+        sym = (f >> 9) & 511;
+        pending = (f >> 18) & 511;
+        group_pos -= 2;
+        g_dec_pairs++;
+      } else if (f >= 0 && br.have(l1)) {
+        br.drop(l1);
+        sym = (f >> 9) & 511;
+        group_pos--;
+        g_dec_singles++;
       } else {
         i32 l = gr->min_len;
         NEED(l);
@@ -444,6 +485,8 @@ static i32 decode_block_symbols(BitRd& br, i32 max_block, u8* blk,
         }
         br.drop(l);
         sym = gr->perm[code - gr->base[l]];
+        group_pos--;
+        g_dec_slow++;
       }
     }
     if (sym <= 1) {  // RUNA/RUNB
@@ -582,21 +625,32 @@ i32 bz2tpu_parse_block(const u8* data, i64 len, i64 start_bit, i32 max_block,
   i32 run_bit = 0;
   i32 group_no = -1, group_pos = 0;
   Group* gr = nullptr;
+  i32 pending = -1;  // second symbol of a paired fast-table hit
   for (;;) {
-    if (group_pos == 0) {
-      if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
-      goff_out[group_no] = br.bit_pos(data);
-      gr = &groups[selectors_out[group_no]];
-      group_pos = 50;
-    }
-    group_pos--;
     i32 sym;
-    {
+    if (pending >= 0) {
+      sym = pending;
+      pending = -1;
+    } else {
+      if (group_pos == 0) {
+        if (++group_no >= (i32)n_selectors) return BZT_DATA_ERROR;
+        goff_out[group_no] = br.bit_pos(data);
+        gr = &groups[selectors_out[group_no]];
+        group_pos = 50;
+      }
       u32 v = br.peek(Group::FAST_BITS);
       i32 f = gr->fast[v];
-      if (f >= 0 && br.have(f & 31)) {
-        sym = f >> 5;
-        br.drop(f & 31);
+      i32 l1 = (f >> 1) & 15;
+      if (f >= 0 && (f & 1) && group_pos >= 2 &&
+          br.have(l1 + ((f >> 5) & 15))) {
+        br.drop(l1 + ((f >> 5) & 15));
+        sym = (f >> 9) & 511;
+        pending = (f >> 18) & 511;
+        group_pos -= 2;
+      } else if (f >= 0 && br.have(l1)) {
+        br.drop(l1);
+        sym = (f >> 9) & 511;
+        group_pos--;
       } else {
         i32 l = gr->min_len;
         NEED(l);
@@ -609,6 +663,7 @@ i32 bz2tpu_parse_block(const u8* data, i64 len, i64 start_bit, i32 max_block,
         }
         br.drop(l);
         sym = gr->perm[code - gr->base[l]];
+        group_pos--;
       }
     }
     n_mtf++;
