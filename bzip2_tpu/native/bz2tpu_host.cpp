@@ -1534,6 +1534,12 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   }
   i32 name = 0, prev = -1;
   for (i32 i = 0; i < n1; i++) {
+    if (i + 8 < n1) {  // SA[i+8] is known: pull its three random lines in
+      i32 q = SA[i + 8];
+      __builtin_prefetch(&c[q]);
+      __builtin_prefetch(&lms_len[q / 2]);
+      __builtin_prefetch(&SA[n1 + q / 2], 1);
+    }
     i32 pos = SA[i];
     bool diff = false;
     if (prev < 0) {
@@ -1573,7 +1579,10 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
     i32 k = 0;
     for (i32 i = 0; i < n; i++)
       if (is_lms(i)) s1[k++] = i;
-    for (i32 i = 0; i < n1; i++) SA1[i] = s1[SA1[i]];
+    for (i32 i = 0; i < n1; i++) {
+      if (i + 16 < n1) __builtin_prefetch(&s1[SA1[i + 16]]);
+      SA1[i] = s1[SA1[i]];
+    }
   }
 
   // stage 3: final induced sort from the exact LMS order
@@ -1581,9 +1590,14 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   bucket_end();
   if (packed) {
     for (i32 i = n1 - 1; i >= 0; i--) {
+      if (i - 8 >= 0) {
+        i32 q = SA[i - 8];
+        __builtin_prefetch(&c[q ? q - 1 : n - 1]);  // line also holds c[q]
+      }
       i32 j = SA[i];
       SA[i] = -1;
-      SA[--bkt[s[j]]] = pk(j, (u32)c[j], (u32)c[j ? j - 1 : n - 1]);
+      u32 cj = (u32)c[j];  // s[j] == cj >> 1: one random line, not two
+      SA[--bkt[cj >> 1]] = pk(j, cj, (u32)c[j ? j - 1 : n - 1]);
     }
     induce_p();
     for (i32 i = 0; i < n; i++) SA[i] = (SA[i] >> 9) & 0xFFFFF;
