@@ -119,6 +119,11 @@ def bench_level_matrix(size: int) -> None:
     hostmem.set_malloc_retention()
     data = make_corpus(size)
     log(f"[level-matrix] corpus {len(data)/1e6:.0f} MB")
+    # warm the heap + encoder buffers before the first timed level: this
+    # VM's first-touch page faults otherwise tax whichever level runs
+    # first (~2x on -1/-2 in a cold process)
+    hostmem.warm_heap(1 << 30)
+    api.compress(data[: 8 << 20], 9)
     for level in range(1, 10):
         t0 = time.time()
         comp = api.compress(data, level)
