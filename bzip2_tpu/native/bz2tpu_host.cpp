@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (see build.py).  ABI: plain C, ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <immintrin.h>
@@ -1612,7 +1613,300 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
   lap_.lap("induce2", n);
 }
 
+// --------------------------------------- rotation sort, bucket + rank path --
+// Cache-partitioned rotation sorter for the primitive root:
+//   1. a 2-byte bucket pass,
+//   2. inside each pending small bucket, iterative rank-key refinement:
+//      gather the partial rank ISA[i + depth] for every member (one
+//      software-prefetched streaming gather — the random reads overlap
+//      ~10-deep instead of serialising behind compare branches), pack
+//      (rank << 32 | idx) into u64 and sort THAT in cache, then recurse
+//      on equal-rank runs 2 bytes deeper,
+//   3. copy-induction of every [x, c] small bucket from each finished
+//      big bucket c (big buckets processed smallest-first, with
+//      chasing-cursor scans so the self-referential [c, c] bucket fills
+//      itself from both ends),
+//   4. ISA finalisation as buckets complete: a finished rotation's rank
+//      becomes its exact SA slot, so later (larger) buckets resolve deep
+//      ties in a single rank compare instead of byte-at-a-time scans.
+// The induced-copy idea and the partial-rank tiebreak are the classic
+// BWT-sorter devices (the reference family: blocksort.c quadrants /
+// divsufsort trsort); the cyclic setting here works on a doubled buffer
+// of the KMP-primitive root, where rotations are distinct before depth
+// p.  ISA invariant: ISA[i] is the exact SA slot once rotation i's small
+// bucket is finished, else the 2-byte bucket start — every snapshot is a
+// consistent partial order (ranges are disjoint), and equal values imply
+// the same unfinished bucket, i.e. >= 2 more equal bytes (depth += 2).
+// Returns false when the work budget blows up (deep-repeat adversaries)
+// — the caller then falls back to the cyclic SA-IS, which also serves
+// as the differential oracle for this path.
+namespace mkqs {
+
+struct Seg { i32 off, n, depth; };  // offsets into the bucket
+
+struct Ctx {
+  const u8* d;    // doubled root, length 2p (+pad)
+  const u32* isa; // partial ranks, length p (index mod p)
+  i32 p;
+  i64 budget;     // remaining work; <0 => bail
+  // per-block scratch, TLS-resolved once by the caller (a dlopen'd .so
+  // pays a __tls_get_addr call per thread_local access otherwise)
+  std::vector<Seg>* stack;
+  std::vector<u64>* kv;
+  std::vector<u64>* kv2;  // radix double-buffer
+};
+
+// instrumentation (BZ2TPU_MKQS_TIMING): tsc + element tallies per stage
+static bool g_prof = false;
+static u64 g_tsc_gather = 0, g_tsc_sort = 0;
+static u64 g_n_gather = 0, g_n_segs = 0;
+
+static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth) {
+  auto& stack = *c.stack;
+  auto& kvv = *c.kv;
+  auto& kvv2 = *c.kv2;
+  stack.clear();
+  stack.push_back({0, n, depth});
+  if ((i32)kvv.size() < n) { kvv.resize(n); kvv2.resize(n); }
+  u64* kv = kvv.data();
+  u64* kv2 = kvv2.data();
+  const u32* const isa = c.isa;
+  const i32 p = c.p;
+  while (!stack.empty()) {
+    Seg sg = stack.back();
+    stack.pop_back();
+    i32* a = A + sg.off;
+    if (sg.depth >= p) continue;  // distinct rotations: unreachable guard
+    c.budget -= sg.n;
+    if (c.budget < 0) return false;
+    u64 t0 = g_prof ? __rdtsc() : 0;
+    for (i32 i = 0; i < sg.n; i++) {
+      if (i + 12 < sg.n) {
+        i32 w = a[i + 12] + sg.depth;
+        if (w >= p) w -= p;
+        __builtin_prefetch(isa + w, 0, 0);
+      }
+      i32 w = a[i] + sg.depth;
+      if (w >= p) w -= p;
+      kv[i] = ((u64)isa[w] << 32) | (u32)a[i];
+    }
+    u64 t1 = g_prof ? __rdtsc() : 0;
+    if (sg.n <= 40) {
+      for (i32 i = 1; i < sg.n; i++) {  // inline: no dispatch overhead
+        u64 v = kv[i];
+        i32 j = i;
+        while (j > 0 && kv[j - 1] > v) { kv[j] = kv[j - 1]; j--; }
+        kv[j] = v;
+      }
+    } else {
+      // branch-free LSD radix on the rank key: ranks are < p < 2^22, so
+      // two 11-bit passes (bits 32..43, 43..54 of the packed u64) sort
+      // completely; stability keeps equal-rank runs in gather order
+      u64* kb = kv2;
+      u32 cnt[2048];
+      for (i32 pass = 0; pass < 2; pass++) {
+        const i32 sh = 32 + 11 * pass;
+        memset(cnt, 0, sizeof cnt);
+        for (i32 i = 0; i < sg.n; i++) cnt[(kv[i] >> sh) & 2047]++;
+        u32 sum = 0;
+        for (i32 k = 0; k < 2048; k++) { u32 t = cnt[k]; cnt[k] = sum; sum += t; }
+        for (i32 i = 0; i < sg.n; i++) kb[cnt[(kv[i] >> sh) & 2047]++] = kv[i];
+        std::swap(kv, kb);
+      }
+      // two swaps: kv points at the fully sorted buffer again
+    }
+    for (i32 i = 0; i < sg.n; i++) a[i] = (i32)(u32)kv[i];
+    if (g_prof) {
+      g_tsc_gather += t1 - t0; g_tsc_sort += __rdtsc() - t1;
+      g_n_gather += sg.n; g_n_segs++;
+    }
+    // equal-rank runs recurse 2 bytes deeper (bucket refinement floor)
+    i32 i = 0;
+    while (i < sg.n) {
+      u32 k = (u32)(kv[i] >> 32);
+      i32 j = i + 1;
+      while (j < sg.n && (u32)(kv[j] >> 32) == k) j++;
+      if (j - i > 1) stack.push_back({sg.off + i, j - i, sg.depth + 2});
+      i = j;
+    }
+  }
+  return true;
+}
+
+}  // namespace mkqs
+
+// Sort the p rotations of the primitive root `s` into SA.  Returns false
+// on budget bail (caller falls back to cyclic SA-IS).
+static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
+  if (p < 2) { if (p == 1) SA[0] = 0; return p >= 1; }
+  const bool mdbg = getenv("BZ2TPU_MKQS_TIMING") != nullptr;
+  struct timespec mt0;
+  if (mdbg) clock_gettime(CLOCK_MONOTONIC, &mt0);
+  mkqs::g_prof = mdbg;
+  mkqs::g_tsc_gather = mkqs::g_tsc_sort = 0;
+  mkqs::g_n_gather = mkqs::g_n_segs = 0;
+  double t_sort = 0, t_copy = 0;
+  auto elapsed = [&]() {
+    struct timespec t1;
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    double dt = (t1.tv_sec - mt0.tv_sec) + 1e-9 * (t1.tv_nsec - mt0.tv_nsec);
+    mt0 = t1;
+    return dt;
+  };
+  // persistent buffers: fresh multi-MB allocations re-fault on this VM
+  static thread_local std::vector<u8> dbuf;
+  static thread_local std::vector<i32> ftab;
+  static thread_local std::vector<u8> small_done;
+  if ((i32)dbuf.size() < 2 * p + 16) dbuf.resize((size_t)2 * p + 16);
+  memcpy(dbuf.data(), s, p);
+  memcpy(dbuf.data() + p, s, p);
+  memset(dbuf.data() + 2 * p, 0, 16);  // readable pad for key8 overreads
+  const u8* d = dbuf.data();
+
+  // 2-byte bucket pass
+  ftab.assign(65537, 0);
+  {
+    u32 k2 = d[0];
+    for (i32 i = 0; i < p; i++) {
+      k2 = ((k2 << 8) | d[i + 1]) & 0xFFFF;
+      ftab[k2]++;
+    }
+  }
+  for (i32 k = 0; k < 65536; k++) ftab[k + 1] += ftab[k];
+  // ftab[k] = end (exclusive) of bucket k; scatter from the back
+  {
+    std::vector<i32> fin(ftab.begin(), ftab.begin() + 65536);
+    for (i32 i = p - 1; i >= 0; i--) {
+      u32 k2 = ((u32)d[i] << 8) | d[i + 1];
+      SA[--fin[k2]] = i;
+    }
+  }
+  auto bstart = [&](u32 k2) { return k2 ? ftab[k2 - 1] : 0; };
+
+  // partial ranks: small-bucket start per rotation; refined to the exact
+  // SA slot as buckets finish (see invariant above)
+  static thread_local std::vector<u32> isa;
+  if ((i32)isa.size() < p) isa.resize(p);
+  {
+    u32 k2 = d[0];
+    for (i32 i = 0; i < p; i++) {
+      k2 = ((k2 << 8) | d[i + 1]) & 0xFFFF;
+      isa[i] = (u32)bstart(k2);
+    }
+  }
+  auto finalize = [&](i32 lo, i32 hi) {  // ISA[rot] = exact slot
+    for (i32 j = lo; j < hi; j++) {
+      if (j + 16 < hi) __builtin_prefetch(&isa[SA[j + 16]], 1, 0);
+      isa[SA[j]] = (u32)j;
+    }
+  };
+
+  if (mdbg) fprintf(stderr, "[mkqs] buckets  %.4f\n", elapsed());
+  static thread_local std::vector<mkqs::Seg> seg_stack;
+  static thread_local std::vector<u64> kv_scratch, kv_scratch2;
+  mkqs::Ctx ctx{d, isa.data(), p, (i64)p * 64 + (1 << 16),
+                &seg_stack, &kv_scratch, &kv_scratch2};
+  small_done.assign(65536, 0);
+  bool big_done[256] = {};
+  // big buckets smallest-first so copy-induction covers the heavy ones
+  i32 order[256];
+  for (i32 i = 0; i < 256; i++) order[i] = i;
+  std::sort(order, order + 256, [&](i32 a, i32 b) {
+    i32 sa2 = ftab[((u32)a << 8) | 255] - bstart((u32)a << 8);
+    i32 sb = ftab[((u32)b << 8) | 255] - bstart((u32)b << 8);
+    return sa2 < sb;
+  });
+
+  for (i32 oi = 0; oi < 256; oi++) {
+    i32 ss = order[oi];
+    // 1) quicksort each small bucket [ss, x], x != ss, not already induced
+    for (i32 x = 0; x < 256; x++) {
+      if (x == ss) continue;
+      u32 k2 = ((u32)ss << 8) | (u32)x;
+      if (small_done[k2]) continue;
+      i32 lo = bstart(k2), hi = ftab[k2];
+      if (hi - lo > 1) {
+        if (!mkqs::sort_bucket(ctx, SA + lo, hi - lo, 2)) {
+          if (getenv("BZ2TPU_DEBUG_TIMING"))
+            fprintf(stderr, "[mkqs] budget bail at big=%d small=%d\n", ss, x);
+          return false;
+        }
+        finalize(lo, hi);
+      } else if (hi - lo == 1) {
+        isa[SA[lo]] = (u32)lo;
+      }
+      small_done[k2] = 1;
+    }
+    if (mdbg) t_sort += elapsed();
+    // 2) copy-induction: fill [x, ss] for every x from the sorted big
+    // bucket ss.  The ascending scan chases copy_start[ss] so the
+    // self-referential [ss, ss] left side feeds itself; the descending
+    // scan symmetric from the right; the two fronts meet exactly.
+    i32 copy_start[256], copy_end[256];
+    for (i32 x = 0; x < 256; x++) {
+      u32 k2 = ((u32)x << 8) | (u32)ss;
+      copy_start[x] = bstart(k2);
+      copy_end[x] = ftab[k2] - 1;
+    }
+    i32 big_lo = bstart((u32)ss << 8);
+    i32 big_hi = ftab[((u32)ss << 8) | 255];  // end (exclusive) of big ss
+    for (i32 j = big_lo; j < copy_start[ss]; j++) {
+      i32 k = SA[j] - 1;
+      if (k < 0) k += p;
+      i32 c1 = d[k];
+      if (!big_done[c1]) SA[copy_start[c1]++] = k;
+    }
+    for (i32 j = big_hi - 1; j > copy_end[ss]; j--) {
+      i32 k = SA[j] - 1;
+      if (k < 0) k += p;
+      i32 c1 = d[k];
+      if (!big_done[c1]) SA[copy_end[c1]--] = k;
+    }
+    if (copy_start[ss] != copy_end[ss] + 1) {
+      if (getenv("BZ2TPU_DEBUG_TIMING"))
+        fprintf(stderr, "[mkqs] copy-front mismatch ss=%d\n", ss);
+      return false;  // defensive
+    }
+    // newly induced [x, ss] buckets (and the self-filled [ss, ss]) are
+    // final: publish their exact ranks for later buckets' tiebreaks
+    for (i32 x = 0; x < 256; x++) {
+      u32 k2 = ((u32)x << 8) | (u32)ss;
+      if (!small_done[k2])
+        finalize(bstart(k2), ftab[k2]);
+      small_done[k2] = 1;
+    }
+    big_done[ss] = true;
+    if (mdbg) t_copy += elapsed();
+  }
+  if (mdbg) {
+    fprintf(stderr, "[mkqs] qsort    %.4f\n[mkqs] copy     %.4f\n"
+                    "[mkqs] budget-used %lld\n",
+            t_sort, t_copy,
+            (long long)((i64)p * 64 + (1 << 16) - ctx.budget));
+    fprintf(stderr,
+            "[mkqsP] gather_Mtsc %.1f (n=%llu) "
+            "sort_Mtsc %.1f segs=%llu\n",
+            mkqs::g_tsc_gather / 1e6, (unsigned long long)mkqs::g_n_gather,
+            mkqs::g_tsc_sort / 1e6, (unsigned long long)mkqs::g_n_segs);
+  }
+  return true;
+}
+
 extern "C" {
+
+// dev-only timing hook: time one rotation sort (mode 0 = bucket+rank
+// path, 1 = cyclic SA-IS).  Returns seconds, or -1 on budget bail.
+double bz2tpu_sort_probe(const u8* block, i32 n, i32 mode) {
+  std::vector<i32> SA(n);
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  bool ok = true;
+  if (mode == 0) ok = mkqs_rotation_sort(block, SA.data(), n);
+  else csais_t<u8>(block, SA.data(), n, 256);
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  if (!ok) return -1.0;
+  return (t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+}
 
 // ----------------------------------------------------- native block encode --
 struct BitWr {
@@ -1679,15 +1973,25 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   i32 orig_ptr;
   i32 p = n;
   {
-    std::vector<i32> pi(n, 0);
-    for (i32 i = 1; i < n; i++) {
-      i32 q = pi[i - 1];
-      while (q && block[i] != block[q]) q = pi[q - 1];
-      if (block[i] == block[q]) q++;
-      pi[i] = q;
+    // minimal period that DIVIDES n == smallest divisor d with
+    // block[0..n-d) == block[d..n).  Probing 64 bytes per divisor first
+    // rejects primitive blocks (the overwhelmingly common case) in a few
+    // hundred ns, vs the serial O(n) KMP failure-function scan.
+    i32 divs[1600];
+    i32 nd = 0;
+    for (i32 a = 1; (i64)a * a <= n; a++) {
+      if (n % a) continue;
+      divs[nd++] = a;
+      if (a != n / a && n / a < n) divs[nd++] = n / a;
     }
-    i32 per = n - pi[n - 1];
-    if (n % per == 0) p = per;
+    std::sort(divs, divs + nd);
+    for (i32 di = 0; di < nd; di++) {
+      i32 d = divs[di];
+      if (d == n) break;
+      i32 probe = n - d < 64 ? n - d : 64;
+      if (memcmp(block, block + d, probe)) continue;
+      if (!memcmp(block, block + d, n - d)) { p = d; break; }
+    }
   }
   i32 m = n / p;
   if (p == 1) {
@@ -1712,11 +2016,15 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       for (i32 i = 0; i < p2; i++)
         if (SA2[i] < p) SA[k++] = SA2[i];
     } else {
-      csais_t<u8>(block, SA.data(), p, 256);
+      // default: bucket+MKQS+copy sorter (env BZ2TPU_SAIS forces the
+      // cyclic SA-IS; the MKQS path bails to it on deep-repeat budget)
+      if (getenv("BZ2TPU_SAIS") || !mkqs_rotation_sort(block, SA.data(), p))
+        csais_t<u8>(block, SA.data(), p, 256);
     }
     i32 k0 = 0;
     u8* lp = last.data();
     for (i32 k = 0; k < p; k++) {
+      if (k + 24 < p) __builtin_prefetch(block + SA[k + 24], 0, 0);
       i32 j = SA[k];
       if (j == 0) k0 = k;
       u8 ch = block[j ? j - 1 : p - 1];
