@@ -1633,10 +1633,12 @@ static void csais_t(const C* s, i32* SA, i32 n, i32 K) {
 // BWT-sorter devices (the reference family: blocksort.c quadrants /
 // divsufsort trsort); the cyclic setting here works on a doubled buffer
 // of the KMP-primitive root, where rotations are distinct before depth
-// p.  ISA invariant: ISA[i] is the exact SA slot once rotation i's small
-// bucket is finished, else the 2-byte bucket start — every snapshot is a
-// consistent partial order (ranges are disjoint), and equal values imply
-// the same unfinished bucket, i.e. >= 2 more equal bytes (depth += 2).
+// p.  ISA invariant: ISA[i] is the start of rotation i's current
+// refinement run — initially the 2-byte bucket start, refined on every
+// split (written back), and the exact SA slot once the run is a
+// singleton / the bucket finishes.  Runs are disjoint and only ever
+// split, so every snapshot is a consistent partial order and equal
+// values imply the same unfinished run (>= 2 more equal bytes).
 // Returns false when the work budget blows up (deep-repeat adversaries)
 // — the caller then falls back to the cyclic SA-IS, which also serves
 // as the differential oracle for this path.
@@ -1646,7 +1648,7 @@ struct Seg { i32 off, n, depth; };  // offsets into the bucket
 
 struct Ctx {
   const u8* d;    // doubled root, length 2p (+pad)
-  const u32* isa; // partial ranks, length p (index mod p)
+  u32* isa;       // partial ranks, length p (index mod p); refined on split
   i32 p;
   i64 budget;     // remaining work; <0 => bail
   // per-block scratch, TLS-resolved once by the caller (a dlopen'd .so
@@ -1660,8 +1662,16 @@ struct Ctx {
 static bool g_prof = false;
 static u64 g_tsc_gather = 0, g_tsc_sort = 0;
 static u64 g_n_gather = 0, g_n_segs = 0;
+static i32 g_max_depth = 0;
+// size-class attribution: whole-segment tsc by segment size
+// classes: 0:=2  1:<=8  2:<=40  3:<=256  4:<=2048  5:>2048
+static u64 g_cls_tsc[6] = {}, g_cls_n[6] = {}, g_cls_elems[6] = {};
+static inline i32 size_class(i32 n) {
+  return n <= 2 ? 0 : n <= 8 ? 1 : n <= 40 ? 2
+       : n <= 256 ? 3 : n <= 2048 ? 4 : 5;
+}
 
-static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth) {
+static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
   auto& stack = *c.stack;
   auto& kvv = *c.kv;
   auto& kvv2 = *c.kv2;
@@ -1670,15 +1680,68 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth) {
   if ((i32)kvv.size() < n) { kvv.resize(n); kvv2.resize(n); }
   u64* kv = kvv.data();
   u64* kv2 = kvv2.data();
-  const u32* const isa = c.isa;
+  u32* const isa = c.isa;
   const i32 p = c.p;
   while (!stack.empty()) {
     Seg sg = stack.back();
     stack.pop_back();
     i32* a = A + sg.off;
     if (sg.depth >= p) continue;  // distinct rotations: unreachable guard
+    u64 tseg = g_prof ? __rdtsc() : 0;
+    if (sg.n == 2) {
+      // pair fast path: the two rotations agree to sg.depth, and on the
+      // doubled buffer rotation i is d[i..i+p), so ONE sequential scan
+      // settles them (primitive root => never equal).  This turns deep
+      // tandem-repeat ties (LCPs of 100k+ from duplicated chunks) from
+      // tens of thousands of 2-byte refinement passes into a stream read.
+      // 8-byte chunks; the scan length is charged to the budget so
+      // repeat-saturated adversaries still bail promptly.
+      const u8* q0 = c.d + a[0] + sg.depth;
+      const u8* q1 = c.d + a[1] + sg.depth;
+      i32 rem = p - sg.depth;
+      i32 off = 0;
+      i32 r = 0;
+      while (!r && rem - off >= 8) {
+        // one 32-byte stripe of direct comparison...
+        i32 stripe = off + 32 <= rem ? off + 32 : (rem & ~7);
+        for (; off < stripe; off += 8) {
+          u64 v0, v1;
+          memcpy(&v0, q0 + off, 8);
+          memcpy(&v1, q1 + off, 8);
+          if (v0 != v1) {
+            r = __builtin_bswap64(v0) < __builtin_bswap64(v1) ? -1 : 1;
+            break;
+          }
+        }
+        if (r) break;
+        // ...then a rank probe at the now-VERIFIED equal depth: agreement
+        // to sg.depth+off makes isa[(a+sg.depth+off) mod p] a valid
+        // suffix-order comparison, and writeback-refined neighbor ranks
+        // usually settle even 100k-deep ties within a few stripes
+        i32 w0 = a[0] + sg.depth + off;
+        if (w0 >= p) w0 -= p;
+        i32 w1 = a[1] + sg.depth + off;
+        if (w1 >= p) w1 -= p;
+        u32 r0 = isa[w0], r1 = isa[w1];
+        if (r0 != r1) { r = r0 < r1 ? -1 : 1; break; }
+      }
+      if (!r)
+        for (; off < rem; off++)
+          if (q0[off] != q1[off]) { r = q0[off] < q1[off] ? -1 : 1; break; }
+      if (r > 0) std::swap(a[0], a[1]);
+      u32 s0 = (u32)(gbase + sg.off);
+      isa[a[0]] = s0;
+      isa[a[1]] = s0 + 1;
+      c.budget -= 4 + (off >> 4);
+      if (c.budget < 0) return false;
+      if (g_prof) {
+        g_cls_tsc[0] += __rdtsc() - tseg; g_cls_n[0]++; g_cls_elems[0] += 2;
+      }
+      continue;
+    }
     c.budget -= sg.n;
     if (c.budget < 0) return false;
+    if (g_prof && sg.depth > g_max_depth) g_max_depth = sg.depth;
     u64 t0 = g_prof ? __rdtsc() : 0;
     for (i32 i = 0; i < sg.n; i++) {
       if (i + 12 < sg.n) {
@@ -1698,6 +1761,13 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth) {
         while (j > 0 && kv[j - 1] > v) { kv[j] = kv[j - 1]; j--; }
         kv[j] = v;
       }
+    } else if (sg.n <= 600) {
+      // mid-size: introsort beats LSD radix here — the radix pays a
+      // fixed ~2x(8K memset + 2048-wide serial prefix sum) per segment,
+      // ~50 cycles/elem at these sizes.  Full-u64 (rank, idx) keys give
+      // a deterministic order; within-run order is irrelevant (runs are
+      // re-sorted deeper).
+      std::sort(kv, kv + sg.n);
     } else {
       // branch-free LSD radix on the rank key: ranks are < p < 2^22, so
       // two 11-bit passes (bits 32..43, 43..54 of the packed u64) sort
@@ -1720,14 +1790,38 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth) {
       g_tsc_gather += t1 - t0; g_tsc_sort += __rdtsc() - t1;
       g_n_gather += sg.n; g_n_segs++;
     }
-    // equal-rank runs recurse 2 bytes deeper (bucket refinement floor)
+    // equal-rank runs recurse 2 bytes deeper (bucket refinement floor).
+    // Refined ranks are WRITTEN BACK on split (Larsson–Sadakane-style):
+    // every run after the first gets its new global run-start as its
+    // members' partial rank, so later gathers — in this bucket and every
+    // other — resolve deep ties without re-walking the tie.  The ISA
+    // invariant is preserved: values are starts of disjoint, only-ever-
+    // splitting refinement runs, so equality still means "same unfinished
+    // run" and any two distinct values order consistently.
     i32 i = 0;
     while (i < sg.n) {
       u32 k = (u32)(kv[i] >> 32);
       i32 j = i + 1;
       while (j < sg.n && (u32)(kv[j] >> 32) == k) j++;
+      if (i > 0) {  // first run keeps the segment's own (unchanged) rank
+        // NOTE: the writeback must be unconditional — every member's
+        // stored value must equal its own CURRENT run start, or a stale
+        // ancestor start compared against a finalized exact slot inside
+        // the same run orders inconsistently (a depth-gated variant of
+        // this was bit-wrong on real corpus blocks).
+        u32 nr = (u32)(gbase + sg.off + i);
+        if (j - i > 1) {
+          for (i32 t = i; t < j; t++) isa[a[t]] = nr;
+        } else {
+          isa[a[i]] = nr;  // singleton: exact slot
+        }
+      }
       if (j - i > 1) stack.push_back({sg.off + i, j - i, sg.depth + 2});
       i = j;
+    }
+    if (g_prof) {
+      i32 cl = size_class(sg.n);
+      g_cls_tsc[cl] += __rdtsc() - tseg; g_cls_n[cl]++; g_cls_elems[cl] += sg.n;
     }
   }
   return true;
@@ -1745,6 +1839,10 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
   mkqs::g_prof = mdbg;
   mkqs::g_tsc_gather = mkqs::g_tsc_sort = 0;
   mkqs::g_n_gather = mkqs::g_n_segs = 0;
+  mkqs::g_max_depth = 0;
+  memset(mkqs::g_cls_tsc, 0, sizeof mkqs::g_cls_tsc);
+  memset(mkqs::g_cls_n, 0, sizeof mkqs::g_cls_n);
+  memset(mkqs::g_cls_elems, 0, sizeof mkqs::g_cls_elems);
   double t_sort = 0, t_copy = 0;
   auto elapsed = [&]() {
     struct timespec t1;
@@ -1763,30 +1861,35 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
   memset(dbuf.data() + 2 * p, 0, 16);  // readable pad for key8 overreads
   const u8* d = dbuf.data();
 
-  // 2-byte bucket pass
+  // 2-byte bucket pass.  All hot loops below go through raw pointers:
+  // TLS object access from a dlopen'd .so pays __tls_get_addr per deref.
   ftab.assign(65537, 0);
+  i32* const ft = ftab.data();
   {
     u32 k2 = d[0];
     for (i32 i = 0; i < p; i++) {
       k2 = ((k2 << 8) | d[i + 1]) & 0xFFFF;
-      ftab[k2]++;
+      ft[k2]++;
     }
   }
-  for (i32 k = 0; k < 65536; k++) ftab[k + 1] += ftab[k];
+  for (i32 k = 0; k < 65536; k++) ft[k + 1] += ft[k];
   // ftab[k] = end (exclusive) of bucket k; scatter from the back
   {
-    std::vector<i32> fin(ftab.begin(), ftab.begin() + 65536);
+    static thread_local std::vector<i32> fin_buf;
+    fin_buf.assign(ftab.begin(), ftab.begin() + 65536);
+    i32* const fin = fin_buf.data();
     for (i32 i = p - 1; i >= 0; i--) {
       u32 k2 = ((u32)d[i] << 8) | d[i + 1];
       SA[--fin[k2]] = i;
     }
   }
-  auto bstart = [&](u32 k2) { return k2 ? ftab[k2 - 1] : 0; };
+  auto bstart = [ft](u32 k2) { return k2 ? ft[k2 - 1] : 0; };
 
   // partial ranks: small-bucket start per rotation; refined to the exact
   // SA slot as buckets finish (see invariant above)
-  static thread_local std::vector<u32> isa;
-  if ((i32)isa.size() < p) isa.resize(p);
+  static thread_local std::vector<u32> isa_buf;
+  if ((i32)isa_buf.size() < p) isa_buf.resize(p);
+  u32* const isa = isa_buf.data();
   {
     u32 k2 = d[0];
     for (i32 i = 0; i < p; i++) {
@@ -1804,7 +1907,10 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
   if (mdbg) fprintf(stderr, "[mkqs] buckets  %.4f\n", elapsed());
   static thread_local std::vector<mkqs::Seg> seg_stack;
   static thread_local std::vector<u64> kv_scratch, kv_scratch2;
-  mkqs::Ctx ctx{d, isa.data(), p, (i64)p * 64 + (1 << 16),
+  // budget: corpus blocks use <= ~p*4 visits (writeback keeps refinement
+  // near-linear); repetitive adversaries burn ~20ns/visit, so bailing at
+  // p*6 caps wasted work near one csais pass before the fallback runs
+  mkqs::Ctx ctx{d, isa, p, (i64)p * 6 + (1 << 16),
                 &seg_stack, &kv_scratch, &kv_scratch2};
   small_done.assign(65536, 0);
   bool big_done[256] = {};
@@ -1812,8 +1918,8 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
   i32 order[256];
   for (i32 i = 0; i < 256; i++) order[i] = i;
   std::sort(order, order + 256, [&](i32 a, i32 b) {
-    i32 sa2 = ftab[((u32)a << 8) | 255] - bstart((u32)a << 8);
-    i32 sb = ftab[((u32)b << 8) | 255] - bstart((u32)b << 8);
+    i32 sa2 = ft[((u32)a << 8) | 255] - bstart((u32)a << 8);
+    i32 sb = ft[((u32)b << 8) | 255] - bstart((u32)b << 8);
     return sa2 < sb;
   });
 
@@ -1824,14 +1930,15 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
       if (x == ss) continue;
       u32 k2 = ((u32)ss << 8) | (u32)x;
       if (small_done[k2]) continue;
-      i32 lo = bstart(k2), hi = ftab[k2];
+      i32 lo = bstart(k2), hi = ft[k2];
       if (hi - lo > 1) {
-        if (!mkqs::sort_bucket(ctx, SA + lo, hi - lo, 2)) {
+        // writeback inside sort_bucket leaves every member's ISA at its
+        // exact slot on completion — no finalize pass needed here
+        if (!mkqs::sort_bucket(ctx, SA + lo, hi - lo, 2, lo)) {
           if (getenv("BZ2TPU_DEBUG_TIMING"))
             fprintf(stderr, "[mkqs] budget bail at big=%d small=%d\n", ss, x);
           return false;
         }
-        finalize(lo, hi);
       } else if (hi - lo == 1) {
         isa[SA[lo]] = (u32)lo;
       }
@@ -1846,10 +1953,10 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
     for (i32 x = 0; x < 256; x++) {
       u32 k2 = ((u32)x << 8) | (u32)ss;
       copy_start[x] = bstart(k2);
-      copy_end[x] = ftab[k2] - 1;
+      copy_end[x] = ft[k2] - 1;
     }
     i32 big_lo = bstart((u32)ss << 8);
-    i32 big_hi = ftab[((u32)ss << 8) | 255];  // end (exclusive) of big ss
+    i32 big_hi = ft[((u32)ss << 8) | 255];  // end (exclusive) of big ss
     for (i32 j = big_lo; j < copy_start[ss]; j++) {
       i32 k = SA[j] - 1;
       if (k < 0) k += p;
@@ -1872,7 +1979,7 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
     for (i32 x = 0; x < 256; x++) {
       u32 k2 = ((u32)x << 8) | (u32)ss;
       if (!small_done[k2])
-        finalize(bstart(k2), ftab[k2]);
+        finalize(bstart(k2), ft[k2]);
       small_done[k2] = 1;
     }
     big_done[ss] = true;
@@ -1882,12 +1989,21 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
     fprintf(stderr, "[mkqs] qsort    %.4f\n[mkqs] copy     %.4f\n"
                     "[mkqs] budget-used %lld\n",
             t_sort, t_copy,
-            (long long)((i64)p * 64 + (1 << 16) - ctx.budget));
+            (long long)((i64)p * 6 + (1 << 16) - ctx.budget));
     fprintf(stderr,
             "[mkqsP] gather_Mtsc %.1f (n=%llu) "
             "sort_Mtsc %.1f segs=%llu\n",
             mkqs::g_tsc_gather / 1e6, (unsigned long long)mkqs::g_n_gather,
             mkqs::g_tsc_sort / 1e6, (unsigned long long)mkqs::g_n_segs);
+    fprintf(stderr, "[mkqsP] max_depth %d\n", mkqs::g_max_depth);
+    static const char* cls_name[6] = {"=2", "<=8", "<=40", "<=256",
+                                      "<=2048", ">2048"};
+    for (i32 cl = 0; cl < 6; cl++)
+      if (mkqs::g_cls_n[cl])
+        fprintf(stderr, "[mkqsC] %-6s segs=%-8llu elems=%-9llu Mtsc=%.1f\n",
+                cls_name[cl], (unsigned long long)mkqs::g_cls_n[cl],
+                (unsigned long long)mkqs::g_cls_elems[cl],
+                mkqs::g_cls_tsc[cl] / 1e6);
   }
   return true;
 }
@@ -1969,7 +2085,9 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   // blocksort.c:1457-1459,1476-1480,1492-1493); on adversarial roots its
   // in-class slot follows introsort pivot dynamics, which we document
   // rather than model (see oracle/bwt.py).
-  std::vector<u8> last(n);
+  // persistent buffers: fresh multi-MB allocations re-fault on this VM
+  static thread_local std::vector<u8> last;
+  if ((i32)last.size() < n) last.resize(n);
   i32 orig_ptr;
   i32 p = n;
   {
@@ -1998,8 +2116,12 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
     memset(last.data(), block[0], n);
     orig_ptr = n - 1;
   } else {
-    std::vector<i32> SA(p);
-    advise_huge(SA.data(), (size_t)p * 4);
+    static thread_local std::vector<i32> SA_buf;
+    if ((i32)SA_buf.size() < p) {
+      SA_buf.resize(p);
+      advise_huge(SA_buf.data(), (size_t)p * 4);
+    }
+    std::vector<i32>& SA = SA_buf;
     if (getenv("BZ2TPU_SAIS_DOUBLED")) {
       // differential-fuzz reference path: doubled-string SA-IS on the
       // (primitive) root; must order rotations identically to csais_t
@@ -2049,8 +2171,13 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   i32 alpha = n_used + 2;
   i32 eob = n_used + 1;
 
-  std::vector<u16> mtfv;
-  mtfv.reserve(n + 1);
+  // persistent buffer, but hot loops go through a raw pointer: TLS
+  // object access from a dlopen'd .so pays __tls_get_addr per deref
+  static thread_local std::vector<u16> mtfv_buf;
+  if ((i64)mtfv_buf.size() < (i64)n + 8) mtfv_buf.resize(n + 8);
+  u16* const mtfv = mtfv_buf.data();
+  i64 n_mtf = 0;
+  const u8* const lastd = last.data();
   i32 freq[258];
   memset(freq, 0, sizeof freq);
   i64 zrun = 0;
@@ -2060,14 +2187,14 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
     i64 m = zrun + 1;
     while (m >= 2) {
       u16 d = (u16)(m & 1);
-      mtfv.push_back(d);
+      mtfv[n_mtf++] = d;
       freq[d]++;
       m >>= 1;
     }
     zrun = 0;
   };
   for (i32 i = 0; i < n; i++) {
-    u8 sym = remap[last[i]];
+    u8 sym = remap[lastd[i]];
     if (mtf[0] == sym) { zrun++; continue; }
     i32 p;
 #ifdef __AVX2__
@@ -2091,13 +2218,12 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       memmove(mtf + 1, mtf, p);
     }
     mtf[0] = sym;
-    mtfv.push_back((u16)(p + 1));
+    mtfv[n_mtf++] = (u16)(p + 1);
     freq[p + 1]++;
   }
   if (zrun) flush_run();
-  mtfv.push_back((u16)eob);
+  mtfv[n_mtf++] = (u16)eob;
   freq[eob]++;
-  i64 n_mtf = (i64)mtfv.size();
   lap("mtf");
 
   // --- greedy 6-table search (oracle/groups.py semantics).
