@@ -1743,6 +1743,13 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
     if (c.budget < 0) return false;
     if (g_prof && sg.depth > g_max_depth) g_max_depth = sg.depth;
     u64 t0 = g_prof ? __rdtsc() : 0;
+    // double-rank key: isa[w] and isa[w+2] are 8 bytes apart, almost
+    // always the same cache line, so one gather orders by FOUR bytes
+    // (ranks summarize 2 bytes each) — refinement levels halve for the
+    // same memory traffic.  p < 2^20 (block cap 900000), so
+    // (r1:20 | r2:20 | idx:20) packs into 60 bits, lexicographic u64.
+    const bool two = sg.depth + 2 < p;
+    const i32 step = two ? 4 : 2;
     for (i32 i = 0; i < sg.n; i++) {
       if (i + 12 < sg.n) {
         i32 w = a[i + 12] + sg.depth;
@@ -1751,7 +1758,10 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
       }
       i32 w = a[i] + sg.depth;
       if (w >= p) w -= p;
-      kv[i] = ((u64)isa[w] << 32) | (u32)a[i];
+      i32 w2 = w + 2;
+      if (w2 >= p) w2 -= p;
+      u64 r2 = two ? isa[w2] : 0;
+      kv[i] = ((u64)isa[w] << 40) | (r2 << 20) | (u32)a[i];
     }
     u64 t1 = g_prof ? __rdtsc() : 0;
     if (sg.n <= 40) {
@@ -1769,28 +1779,57 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
       // re-sorted deeper).
       std::sort(kv, kv + sg.n);
     } else {
-      // branch-free LSD radix on the rank key: ranks are < p < 2^22, so
-      // two 11-bit passes (bits 32..43, 43..54 of the packed u64) sort
-      // completely; stability keeps equal-rank runs in gather order
+      // large segments: two 10-bit LSD passes on r1 (bits 40..59), then
+      // introsort each equal-r1 run on the residual (r2, idx) low bits —
+      // equal-r1 runs are short on real data, so this beats paying four
+      // full radix passes for the r2 half of the key
       u64* kb = kv2;
-      u32 cnt[2048];
+      u32 cnt[1024];
       for (i32 pass = 0; pass < 2; pass++) {
-        const i32 sh = 32 + 11 * pass;
+        const i32 sh = 40 + 10 * pass;
         memset(cnt, 0, sizeof cnt);
-        for (i32 i = 0; i < sg.n; i++) cnt[(kv[i] >> sh) & 2047]++;
+        for (i32 i = 0; i < sg.n; i++) cnt[(kv[i] >> sh) & 1023]++;
         u32 sum = 0;
-        for (i32 k = 0; k < 2048; k++) { u32 t = cnt[k]; cnt[k] = sum; sum += t; }
-        for (i32 i = 0; i < sg.n; i++) kb[cnt[(kv[i] >> sh) & 2047]++] = kv[i];
+        for (i32 k = 0; k < 1024; k++) { u32 t = cnt[k]; cnt[k] = sum; sum += t; }
+        for (i32 i = 0; i < sg.n; i++) kb[cnt[(kv[i] >> sh) & 1023]++] = kv[i];
         std::swap(kv, kb);
       }
       // two swaps: kv points at the fully sorted buffer again
+      i32 i = 0;
+      while (i < sg.n) {
+        u64 r1 = kv[i] >> 40;
+        i32 j = i + 1;
+        while (j < sg.n && (kv[j] >> 40) == r1) j++;
+        i32 rn = j - i;
+        if (rn > 600) {
+          // long equal-r1 run (shallow depths on repetitive text):
+          // finish with two 10-bit passes on r2 instead of introsort
+          // (pass 1: kv -> kb on bits 20..29; pass 2: kb -> kv on 30..39)
+          for (i32 pass = 0; pass < 2; pass++) {
+            const i32 sh = 20 + 10 * pass;
+            const u64* src = pass ? kb : kv;
+            u64* dst = pass ? kv : kb;
+            memset(cnt, 0, sizeof cnt);
+            for (i32 t = i; t < j; t++) cnt[(src[t] >> sh) & 1023]++;
+            u32 sum = 0;
+            for (i32 k = 0; k < 1024; k++) {
+              u32 t = cnt[k]; cnt[k] = sum; sum += t;
+            }
+            for (i32 t = i; t < j; t++)
+              dst[i + cnt[(src[t] >> sh) & 1023]++] = src[t];
+          }
+        } else if (rn > 1) {
+          std::sort(kv + i, kv + j);
+        }
+        i = j;
+      }
     }
-    for (i32 i = 0; i < sg.n; i++) a[i] = (i32)(u32)kv[i];
+    for (i32 i = 0; i < sg.n; i++) a[i] = (i32)(kv[i] & 0xFFFFF);
     if (g_prof) {
       g_tsc_gather += t1 - t0; g_tsc_sort += __rdtsc() - t1;
       g_n_gather += sg.n; g_n_segs++;
     }
-    // equal-rank runs recurse 2 bytes deeper (bucket refinement floor).
+    // equal-(r1,r2) runs recurse `step` bytes deeper.
     // Refined ranks are WRITTEN BACK on split (Larsson–Sadakane-style):
     // every run after the first gets its new global run-start as its
     // members' partial rank, so later gathers — in this bucket and every
@@ -1800,9 +1839,9 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
     // run" and any two distinct values order consistently.
     i32 i = 0;
     while (i < sg.n) {
-      u32 k = (u32)(kv[i] >> 32);
+      u64 k = kv[i] >> 20;  // (r1, r2) pair
       i32 j = i + 1;
-      while (j < sg.n && (u32)(kv[j] >> 32) == k) j++;
+      while (j < sg.n && (kv[j] >> 20) == k) j++;
       if (i > 0) {  // first run keeps the segment's own (unchanged) rank
         // NOTE: the writeback must be unconditional — every member's
         // stored value must equal its own CURRENT run start, or a stale
@@ -1816,7 +1855,7 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
           isa[a[i]] = nr;  // singleton: exact slot
         }
       }
-      if (j - i > 1) stack.push_back({sg.off + i, j - i, sg.depth + 2});
+      if (j - i > 1) stack.push_back({sg.off + i, j - i, sg.depth + step});
       i = j;
     }
     if (g_prof) {
@@ -1833,6 +1872,7 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
 // on budget bail (caller falls back to cyclic SA-IS).
 static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
   if (p < 2) { if (p == 1) SA[0] = 0; return p >= 1; }
+  if (p >= (1 << 20)) return false;  // 20-bit key packing bound (cap 900000)
   const bool mdbg = getenv("BZ2TPU_MKQS_TIMING") != nullptr;
   struct timespec mt0;
   if (mdbg) clock_gettime(CLOCK_MONOTONIC, &mt0);
