@@ -1870,8 +1870,20 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
 
 // Sort the p rotations of the primitive root `s` into SA.  Returns false
 // on budget bail (caller falls back to cyclic SA-IS).
-static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
-  if (p < 2) { if (p == 1) SA[0] = 0; return p >= 1; }
+//
+// last_out (length p): the BWT last column of the root, emitted FOR FREE
+// inside the copy-induction scans — those already load d[SA[j]-1] (the
+// char preceding each rotation) for every slot of every big bucket, and
+// the two scan fronts meet exactly, so every slot is visited once.  This
+// replaces the encoder's separate 900k-gather last-column pass (~8 ms).
+// k0_out: the exact SA slot of rotation 0 (== isa[0]; every bucket
+// finalizes its members' ISA to exact slots), i.e. the BWT origin.
+static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
+                               u8* last_out, i32* k0_out) {
+  if (p < 2) {
+    if (p == 1) { SA[0] = 0; last_out[0] = s[0]; *k0_out = 0; }
+    return p >= 1;
+  }
   if (p >= (1 << 20)) return false;  // 20-bit key packing bound (cap 900000)
   const bool mdbg = getenv("BZ2TPU_MKQS_TIMING") != nullptr;
   struct timespec mt0;
@@ -2001,12 +2013,14 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
       i32 k = SA[j] - 1;
       if (k < 0) k += p;
       i32 c1 = d[k];
+      last_out[j] = (u8)c1;
       if (!big_done[c1]) SA[copy_start[c1]++] = k;
     }
     for (i32 j = big_hi - 1; j > copy_end[ss]; j--) {
       i32 k = SA[j] - 1;
       if (k < 0) k += p;
       i32 c1 = d[k];
+      last_out[j] = (u8)c1;
       if (!big_done[c1]) SA[copy_end[c1]--] = k;
     }
     if (copy_start[ss] != copy_end[ss] + 1) {
@@ -2025,6 +2039,7 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p) {
     big_done[ss] = true;
     if (mdbg) t_copy += elapsed();
   }
+  *k0_out = (i32)isa[0];
   if (mdbg) {
     fprintf(stderr, "[mkqs] qsort    %.4f\n[mkqs] copy     %.4f\n"
                     "[mkqs] budget-used %lld\n",
@@ -2054,10 +2069,12 @@ extern "C" {
 // path, 1 = cyclic SA-IS).  Returns seconds, or -1 on budget bail.
 double bz2tpu_sort_probe(const u8* block, i32 n, i32 mode) {
   std::vector<i32> SA(n);
+  std::vector<u8> lastc(n);
+  i32 k0 = 0;
   struct timespec t0, t1;
   clock_gettime(CLOCK_MONOTONIC, &t0);
   bool ok = true;
-  if (mode == 0) ok = mkqs_rotation_sort(block, SA.data(), n);
+  if (mode == 0) ok = mkqs_rotation_sort(block, SA.data(), n, lastc.data(), &k0);
   else csais_t<u8>(block, SA.data(), n, 256);
   clock_gettime(CLOCK_MONOTONIC, &t1);
   if (!ok) return -1.0;
@@ -2151,6 +2168,7 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       if (!memcmp(block, block + d, n - d)) { p = d; break; }
     }
   }
+  lap("period");
   i32 m = n / p;
   if (p == 1) {
     memset(last.data(), block[0], n);
@@ -2162,6 +2180,8 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       advise_huge(SA_buf.data(), (size_t)p * 4);
     }
     std::vector<i32>& SA = SA_buf;
+    bool fused = false;   // mkqs emitted last column + k0 itself
+    i32 k0 = 0;
     if (getenv("BZ2TPU_SAIS_DOUBLED")) {
       // differential-fuzz reference path: doubled-string SA-IS on the
       // (primitive) root; must order rotations identically to csais_t
@@ -2179,22 +2199,40 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
         if (SA2[i] < p) SA[k++] = SA2[i];
     } else {
       // default: bucket+MKQS+copy sorter (env BZ2TPU_SAIS forces the
-      // cyclic SA-IS; the MKQS path bails to it on deep-repeat budget)
-      if (getenv("BZ2TPU_SAIS") || !mkqs_rotation_sort(block, SA.data(), p))
-        csais_t<u8>(block, SA.data(), p, 256);
-    }
-    i32 k0 = 0;
-    u8* lp = last.data();
-    for (i32 k = 0; k < p; k++) {
-      if (k + 24 < p) __builtin_prefetch(block + SA[k + 24], 0, 0);
-      i32 j = SA[k];
-      if (j == 0) k0 = k;
-      u8 ch = block[j ? j - 1 : p - 1];
-      if (m == 1) {
-        *lp++ = ch;
+      // cyclic SA-IS; the MKQS path bails to it on deep-repeat budget).
+      // m == 1 (primitive block, the common case): the sorter writes the
+      // BWT last column straight into `last` during its copy scans
+      static thread_local std::vector<u8> rootlast_buf;
+      u8* lout = last.data();
+      if (m != 1) {
+        if ((i32)rootlast_buf.size() < p) rootlast_buf.resize(p);
+        lout = rootlast_buf.data();
+      }
+      if (!getenv("BZ2TPU_SAIS")
+          && mkqs_rotation_sort(block, SA.data(), p, lout, &k0)) {
+        fused = true;
+        if (m != 1) {  // expand each root char m times
+          u8* lp = last.data();
+          for (i32 k = 0; k < p; k++) { memset(lp, lout[k], m); lp += m; }
+        }
       } else {
-        memset(lp, ch, m);
-        lp += m;
+        csais_t<u8>(block, SA.data(), p, 256);
+      }
+    }
+    lap("sort");
+    if (!fused) {  // csais / doubled paths: gather the last column from SA
+      u8* lp = last.data();
+      for (i32 k = 0; k < p; k++) {
+        if (k + 24 < p) __builtin_prefetch(block + SA[k + 24], 0, 0);
+        i32 j = SA[k];
+        if (j == 0) k0 = k;
+        u8 ch = block[j ? j - 1 : p - 1];
+        if (m == 1) {
+          *lp++ = ch;
+        } else {
+          memset(lp, ch, m);
+          lp += m;
+        }
       }
     }
     orig_ptr = k0 * m + (m - 1);
