@@ -1771,13 +1771,32 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
         while (j > 0 && kv[j - 1] > v) { kv[j] = kv[j - 1]; j--; }
         kv[j] = v;
       }
-    } else if (sg.n <= 600) {
-      // mid-size: introsort beats LSD radix here — the radix pays a
-      // fixed ~2x(8K memset + 2048-wide serial prefix sum) per segment,
-      // ~50 cycles/elem at these sizes.  Full-u64 (rank, idx) keys give
-      // a deterministic order; within-run order is irrelevant (runs are
-      // re-sorted deeper).
-      std::sort(kv, kv + sg.n);
+    } else if (sg.n <= 2048) {
+      // mid-size: one MSD-256 scatter on r1's top 8 bits (52..59), then
+      // insertion sort — after the scatter the array is grouped by
+      // digit, so insertions never cross group boundaries and the
+      // expected within-group pair count is tiny.  A skewed digit
+      // histogram (concentrated ranks on repetitive text) would make the
+      // insertion quadratic, so those segments bail to introsort.
+      u32 cnt[256];
+      memset(cnt, 0, sizeof cnt);
+      bool skew = false;
+      for (i32 i = 0; i < sg.n; i++)
+        if (++cnt[(kv[i] >> 52) & 255] > 48) { skew = true; break; }
+      if (skew) {
+        std::sort(kv, kv + sg.n);
+      } else {
+        u32 sum = 0;
+        for (i32 k = 0; k < 256; k++) { u32 t = cnt[k]; cnt[k] = sum; sum += t; }
+        for (i32 i = 0; i < sg.n; i++) kv2[cnt[(kv[i] >> 52) & 255]++] = kv[i];
+        std::swap(kv, kv2);
+        for (i32 i = 1; i < sg.n; i++) {
+          u64 v = kv[i];
+          i32 j = i;
+          while (j > 0 && kv[j - 1] > v) { kv[j] = kv[j - 1]; j--; }
+          kv[j] = v;
+        }
+      }
     } else {
       // large segments: two 10-bit LSD passes on r1 (bits 40..59), then
       // introsort each equal-r1 run on the residual (r2, idx) low bits —
