@@ -1945,6 +1945,13 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
   }
   for (i32 k = 0; k < 65536; k++) ft[k + 1] += ft[k];
   // ftab[k] = end (exclusive) of bucket k; scatter from the back
+  auto bstart = [ft](u32 k2) { return k2 ? ft[k2 - 1] : 0; };
+  // partial ranks: small-bucket start per rotation; refined to the exact
+  // SA slot as buckets finish (see invariant above).  Initialised inside
+  // the scatter loop below — both index by the same rolling k2.
+  static thread_local std::vector<u32> isa_buf;
+  if ((i32)isa_buf.size() < p) isa_buf.resize(p);
+  u32* const isa = isa_buf.data();
   {
     static thread_local std::vector<i32> fin_buf;
     fin_buf.assign(ftab.begin(), ftab.begin() + 65536);
@@ -1952,20 +1959,7 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
     for (i32 i = p - 1; i >= 0; i--) {
       u32 k2 = ((u32)d[i] << 8) | d[i + 1];
       SA[--fin[k2]] = i;
-    }
-  }
-  auto bstart = [ft](u32 k2) { return k2 ? ft[k2 - 1] : 0; };
-
-  // partial ranks: small-bucket start per rotation; refined to the exact
-  // SA slot as buckets finish (see invariant above)
-  static thread_local std::vector<u32> isa_buf;
-  if ((i32)isa_buf.size() < p) isa_buf.resize(p);
-  u32* const isa = isa_buf.data();
-  {
-    u32 k2 = d[0];
-    for (i32 i = 0; i < p; i++) {
-      k2 = ((k2 << 8) | d[i + 1]) & 0xFFFF;
-      isa[i] = (u32)bstart(k2);
+      isa[i] = (u32)(k2 ? ft[k2 - 1] : 0);
     }
   }
   auto finalize = [&](i32 lo, i32 hi) {  // ISA[rot] = exact slot
