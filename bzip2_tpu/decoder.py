@@ -12,10 +12,20 @@ stage kernels in ops/decode.py):
          (splitter walk) -> RLE1^-1 -> CRC-32 (GF(2) fold)
   host   ordered splice, CRC validation, EOS / combined-CRC handling
 
-Robustness contract: any lane anomaly (walker cap exceeded, RLE1 output
-over bucket, CRC mismatch, randomised legacy block, parse error) falls
-back to the native host decoder for the whole remaining stream, so
-corrupt input yields exactly the host decoder's clean error codes.
+Robustness contract: a lane anomaly (walker cap exceeded, RLE1 output
+over bucket, CRC mismatch) heals just that block on the host; a parse
+error, randomised legacy block, or truncation falls back to the native
+host decoder for the member's remainder, so corrupt input yields exactly
+the host decoder's clean error codes.
+
+The per-block light parses do NOT chase the serial end_bit chain
+(reference: GET_BITS's strictly sequential state machine,
+decompress.c:103-228): 48-bit block-magic candidates from a vectorized
+scan are, with probability 1 - n*2^-48, exactly the real block starts,
+so every candidate parses CONCURRENTLY (the native scan releases the
+GIL) and the batch assembler merely stitches the futures along the
+end_bit chain — speculative chunked decode with magic resync, the
+block-grain realization of SURVEY's C10 row.
 """
 from __future__ import annotations
 
@@ -220,6 +230,54 @@ class DeviceDecoder:
         parts = []
         pos_bit = 0
         total = buf.size * 8
+
+        # --- speculative parse pool (see module docstring) -------------
+        # submitted: candidate bit offset -> (level, future).  Entries are
+        # keyed out when a later member's level differs; candidates behind
+        # the stitch point (consumed or false) are swept on each pump.
+        import concurrent.futures as _cf
+        import os as _os
+
+        scan_state = {"ex": None, "cands": None, "ci": 0}
+        submitted = {}
+
+        def _pump(pos, level):
+            st = scan_state
+            if st["cands"] is None:
+                from .parallel.decode import find_bit_magics
+                st["cands"] = find_bit_magics(buf, C.BLOCK_MAGIC)
+                st["ex"] = _cf.ThreadPoolExecutor(
+                    max_workers=min(8, (_os.cpu_count() or 1) + 1))
+            cands = st["cands"]
+            ci = st["ci"]
+            while ci < len(cands) and cands[ci] < pos:
+                submitted.pop(int(cands[ci]), None)
+                ci += 1
+            st["ci"] = ci
+            j = ci
+            while j < len(cands) and len(submitted) < 4 * self.batch:
+                c = int(cands[j])
+                j += 1
+                if c not in submitted:
+                    submitted[c] = (level, st["ex"].submit(
+                        native.parse_block, buf, c, level))
+
+        def _get_parse(pos, level):
+            ent = submitted.pop(pos, None)
+            if ent is not None and ent[0] == level:
+                return ent[1].result()
+            return native.parse_block(buf, pos, level)
+
+        try:
+            return self._stream_loop(buf, multi_stream, parts, pos_bit,
+                                     total, _pump, _get_parse)
+        finally:
+            if scan_state["ex"] is not None:
+                scan_state["ex"].shutdown(wait=False, cancel_futures=True)
+
+    def _stream_loop(self, buf, multi_stream, parts, pos_bit, total,
+                     _pump, _get_parse):
+        from .api import DataError, UnexpectedEOF  # noqa: F811
         while True:
             # stream header
             if total - pos_bit < 32:
@@ -279,7 +337,8 @@ class DeviceDecoder:
                 def parse_batch(pos):
                     pbs = []
                     while len(pbs) < self.batch:
-                        pb, rc = native.parse_block(buf, pos, level)
+                        _pump(pos, level)  # keep candidate parses in flight
+                        pb, rc = _get_parse(pos, level)
                         if pb is None:
                             return (pbs, pos, False) if pbs else None
                         if pb.randomised:
