@@ -300,6 +300,27 @@ if __name__ == "__main__":
     # no JSON line at all — worse than any slow number.
     import subprocess
     budget = int(os.environ.get("BENCH_TPU_TIMEOUT", "2100"))
+    # Cheap liveness probe first: a wedged tunnel hangs on import jax or
+    # a scalar transfer, so don't spend the full budget discovering that.
+    probe_budget = min(int(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", "240")),
+                       budget)
+    if probe_budget > 0:
+        try:
+            pr = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; import numpy as np;"
+                 "print('OK', float(jnp.asarray("
+                 "np.arange(16.0, dtype=np.float32)).sum()))"],
+                env=dict(os.environ), timeout=probe_budget,
+                capture_output=True, text=True)
+            alive = pr.returncode == 0 and "OK" in pr.stdout
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            log(f"device liveness probe failed within {probe_budget}s "
+                "(tunnel wedged); host-only fallback")
+            main_host_only()
+            sys.exit(0)
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
