@@ -59,12 +59,27 @@ def register_block_encoder(name: str, fn) -> None:
 
 
 def _native_encode_blocks(blocks, level):
+    """Blocks are independent by format design (SURVEY §2.3 block-DP axis)
+    and the C++ encoder is thread-safe (thread_local scratch only, GIL
+    released), so multi-core hosts encode them in a thread pool.  The
+    reference is single-threaded (bzip2.c's whole main loop); this is the
+    host-side analogue of the device engine's block-data-parallelism.
+    BZ2TPU_HOST_WORKERS pins the width (default: up to 8, one per CPU)."""
+    import os
     from . import native
-    out = []
-    for b in blocks:
-        payload, nbits = native.encode_block(b.data, b.in_use, b.crc)
-        out.append((np.frombuffer(payload, np.uint8), nbits))
-    return out
+    nw = int(os.environ.get("BZ2TPU_HOST_WORKERS", "0")) \
+        or min(8, os.cpu_count() or 1)
+    if nw > 1 and len(blocks) > 1:
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(
+                max_workers=min(nw, len(blocks))) as ex:
+            payloads = list(ex.map(
+                lambda b: native.encode_block(b.data, b.in_use, b.crc),
+                blocks))
+    else:
+        payloads = [native.encode_block(b.data, b.in_use, b.crc)
+                    for b in blocks]
+    return [(np.frombuffer(p, np.uint8), nbits) for p, nbits in payloads]
 
 
 register_block_encoder("oracle", _oracle_encode_blocks)

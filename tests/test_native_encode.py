@@ -71,3 +71,15 @@ def test_host_only_engine():
     data = _text(300_000)
     eng = Engine(use_device=False)
     assert eng.compress(data, 3) == bz2.compress(data, 3)
+
+
+def test_threaded_block_encode_bit_exact(monkeypatch):
+    """The native block encoder is thread-safe (thread_local scratch);
+    a forced 4-wide pool must produce the identical stream (and match
+    stock bzip2) even on a 1-CPU box."""
+    data = _text(2_500_000)  # 3 blocks at -9
+    monkeypatch.setenv("BZ2TPU_HOST_WORKERS", "4")
+    threaded = api.compress(data, 9, backend="native")
+    monkeypatch.setenv("BZ2TPU_HOST_WORKERS", "1")
+    seq = api.compress(data, 9, backend="native")
+    assert threaded == seq == bz2.compress(data, 9)
