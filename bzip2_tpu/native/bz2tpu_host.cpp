@@ -1739,7 +1739,11 @@ static bool sort_bucket(Ctx& c, i32* A, i32 n, i32 depth, i32 gbase) {
       }
       continue;
     }
-    c.budget -= sg.n;
+    // depth-weighted charge: visits at depth d cost 1 + d/4096 — deep
+    // refinement is the signature of repeat-saturated blocks (corpus
+    // blocks stay under depth ~850, < +21%), so hopeless inputs reach
+    // the bail several times sooner while real text is unaffected
+    c.budget -= sg.n + (((i64)sg.n * sg.depth) >> 12);
     if (c.budget < 0) return false;
     if (g_prof && sg.depth > g_max_depth) g_max_depth = sg.depth;
     u64 t0 = g_prof ? __rdtsc() : 0;
@@ -1973,10 +1977,11 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
   if (mdbg) fprintf(stderr, "[mkqs] buckets  %.4f\n", elapsed());
   static thread_local std::vector<mkqs::Seg> seg_stack;
   static thread_local std::vector<u64> kv_scratch, kv_scratch2;
-  // budget: corpus blocks use <= ~p*4 visits (writeback keeps refinement
-  // near-linear); repetitive adversaries burn ~20ns/visit, so bailing at
-  // p*6 caps wasted work near one csais pass before the fallback runs
-  mkqs::Ctx ctx{d, isa, p, (i64)p * 6 + (1 << 16),
+  // budget: corpus blocks use <= ~1.8p (depth-weighted) visits —
+  // writeback keeps refinement near-linear; repetitive adversaries burn
+  // ~20ns/visit and their depth weighting compounds, so bailing at p*4
+  // caps wasted work near one csais pass before the fallback runs
+  mkqs::Ctx ctx{d, isa, p, (i64)p * 4 + (1 << 16),
                 &seg_stack, &kv_scratch, &kv_scratch2};
   small_done.assign(65536, 0);
   bool big_done[256] = {};
@@ -2058,7 +2063,7 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
     fprintf(stderr, "[mkqs] qsort    %.4f\n[mkqs] copy     %.4f\n"
                     "[mkqs] budget-used %lld\n",
             t_sort, t_copy,
-            (long long)((i64)p * 6 + (1 << 16) - ctx.budget));
+            (long long)((i64)p * 4 + (1 << 16) - ctx.budget));
     fprintf(stderr,
             "[mkqsP] gather_Mtsc %.1f (n=%llu) "
             "sort_Mtsc %.1f segs=%llu\n",
