@@ -258,7 +258,10 @@ class DeviceDecoder:
             while j < len(cands) and len(submitted) < 4 * self.batch:
                 c = int(cands[j])
                 j += 1
-                if c not in submitted:
+                ent = submitted.get(c)
+                if ent is None or ent[0] != level:
+                    # new candidate, or stale speculation from a previous
+                    # member with a different level: (re)parse correctly
                     submitted[c] = (level, st["ex"].submit(
                         native.parse_block, buf, c, level))
 
