@@ -47,3 +47,15 @@ def test_engine_backend_registration(engine):
     register_backend()
     data = b"backend registration round trip" * 10 + b"!"
     assert api.compress(data, 1, backend="tpu") == stdlib_bz2.compress(data, 1)
+
+
+def test_engine_mid_levels_bit_exact(engine, rng):
+    """Device-path coverage for mid block-size buckets (levels 1-3 are
+    covered by the golden tests above, 9 by the real-chip bench): 1.5
+    blocks per level so batching and the tail lane both run."""
+    for level in (5, 8):
+        n = int(level * 100_000 * 1.5)
+        data = rng.integers(0, 200, n, dtype=np.uint8).tobytes()
+        out = engine.compress(data, level)
+        assert out == stdlib_bz2.compress(data, level)
+        assert api.decompress(out) == data
