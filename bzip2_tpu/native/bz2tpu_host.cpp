@@ -1999,8 +1999,19 @@ static bool mkqs_rotation_sort(const u8* s, i32* SA, i32 p,
 
   for (i32 oi = 0; oi < 256; oi++) {
     i32 ss = order[oi];
-    // 1) quicksort each small bucket [ss, x], x != ss, not already induced
-    for (i32 x = 0; x < 256; x++) {
+    // 1) quicksort each small bucket [ss, x], x != ss, not already
+    // induced — smallest-first: each completed bucket publishes exact
+    // ranks, and the depth profile shows most elements of LATER buckets
+    // then settle in a single rank pass, so the cheap buckets should
+    // subsidise the expensive ones, not the reverse
+    i32 sml[256];
+    for (i32 x = 0; x < 256; x++) sml[x] = x;
+    std::sort(sml, sml + 256, [&](i32 a2, i32 b2) {
+      u32 ka = ((u32)ss << 8) | (u32)a2, kb2 = ((u32)ss << 8) | (u32)b2;
+      return ft[ka] - bstart(ka) < ft[kb2] - bstart(kb2);
+    });
+    for (i32 xi = 0; xi < 256; xi++) {
+      i32 x = sml[xi];
       if (x == ss) continue;
       u32 k2 = ((u32)ss << 8) | (u32)x;
       if (small_done[k2]) continue;
