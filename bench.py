@@ -64,10 +64,10 @@ def main_host_only():
     # level; a whole best-of-5 can land inside one slow phase), so sample
     # in two rounds separated by a pause and take the global best.
     enc_runs, dec_runs = [], []
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     for rnd in range(n_rounds):
         if rnd:
-            time.sleep(45)
+            time.sleep(60)
         for _ in range(3):
             t0 = time.time()
             comp = api.compress(data, level)
