@@ -30,8 +30,6 @@ _BASE = ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
 _TRAIN = r"""
 import sys
 sys.path.insert(0, %(root)r)
-import bzip2_tpu.native.build as build
-build.ensure_built = lambda force=False: %(so)r
 from bzip2_tpu import api, native
 ref = open(%(sample)r, 'rb').read()
 # de-periodized repetition: rotate the alphabet per copy so blocks are
@@ -57,24 +55,29 @@ def _pgo_build() -> bool:
     if not os.path.exists(sample):
         return False
     with tempfile.TemporaryDirectory(prefix="bz2tpu_pgo") as pgo_dir:
-        scratch = os.path.join(pgo_dir, "libbz2tpu_host.so")
+        # gcda names embed the -o path, so BOTH compiles must target SO
+        # itself; the training child then loads it through the ordinary
+        # ctypes path (its gcov runtime dumps counters at exit).  If
+        # anything below fails, the caller's plain build rebuilds SO.
         subprocess.run(
-            _BASE + [f"-fprofile-generate={pgo_dir}", "-o", scratch, SRC],
+            _BASE + [f"-fprofile-generate={pgo_dir}", "-o", SO, SRC],
             check=True, capture_output=True)
         root = os.path.dirname(os.path.dirname(_DIR))
-        train = _TRAIN % {"root": root, "so": scratch, "sample": sample}
+        train = _TRAIN % {"root": root, "sample": sample}
         r = subprocess.run([sys.executable, "-c", train], timeout=300,
                            capture_output=True,
                            env=dict(os.environ, BZ2TPU_NO_PGO="1"))
         if r.returncode != 0:
             return False
-        if not any(f.endswith(".gcda") for f in os.listdir(pgo_dir)):
+        # counters land either flat ('#'-mangled) or mirrored under the
+        # absolute -o path depending on gcc's prefix handling — walk
+        if not any(f.endswith(".gcda")
+                   for _, _, fs in os.walk(pgo_dir) for f in fs):
             return False
         subprocess.run(
             _BASE + [f"-fprofile-use={pgo_dir}", "-fprofile-correction",
-                     "-Wno-missing-profile", "-o", scratch, SRC],
+                     "-Wno-missing-profile", "-o", SO, SRC],
             check=True, capture_output=True)
-        os.replace(scratch, SO)
     return True
 
 
