@@ -210,12 +210,15 @@ struct BitRd {
     while (n <= 56 && p < end) { buf = (buf << 8) | *p++; n += 8; }
     return n > 0;
   }
-  // peek up to 32 bits (zero-padded past EOF)
+  // peek up to 32 bits (zero-padded past EOF).  The mask must be built
+  // in 64-bit: k == 32 (the stream-header peek) makes (1u << k) UB, and
+  // PGO'd builds really did miscompile it (plain -O3 got lucky).
   inline u32 peek(int k) {
+    const u32 mask = (u32)(((u64)1 << k) - 1);
     if (n < k) fill();
-    if (n >= k) return (u32)((buf >> (n - k)) & ((1u << k) - 1));
+    if (n >= k) return (u32)(buf >> (n - k)) & mask;
     // past EOF: pad with zeros
-    return (u32)((buf << (k - n)) & ((1u << k) - 1));
+    return (u32)(buf << (k - n)) & mask;
   }
   inline bool have(int k) {
     if (n < k) fill();
