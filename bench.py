@@ -67,7 +67,9 @@ def main_host_only():
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     for rnd in range(n_rounds):
         if rnd:
-            time.sleep(60)
+            # pause scales with input: phase-hopping matters for the real
+            # 85 MB run, not for tiny smoke/watchdog invocations
+            time.sleep(min(60.0, len(data) / 1.5e6))
         for _ in range(3):
             t0 = time.time()
             comp = api.compress(data, level)
