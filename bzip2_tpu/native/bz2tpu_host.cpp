@@ -2127,13 +2127,20 @@ struct BitWr {
   void put(u32 v, int k) {
     acc = (acc << k) | (u64)(k >= 32 ? v : (v & ((1u << k) - 1)));
     nb += k;
-    while (nb >= 8) {
-      if (len >= cap) { overflow = true; nb = 0; return; }
-      p[len++] = (u8)(acc >> (nb - 8));
-      nb -= 8;
+    if (nb >= 32) {  // MSB-first: flush the top 32 bits as 4 bytes
+      if (len + 4 > cap) { overflow = true; nb = 0; return; }
+      u32 w = __builtin_bswap32((u32)(acc >> (nb - 32)));
+      memcpy(p + len, &w, 4);
+      len += 4;
+      nb -= 32;
     }
   }
   i64 finish() {  // returns total bits; pads the final byte with low zeros
+    while (nb >= 8) {
+      if (len >= cap) { overflow = true; return -1; }
+      p[len++] = (u8)(acc >> (nb - 8));
+      nb -= 8;
+    }
     i64 bits = len * 8 + nb;
     if (nb) {
       if (len >= cap) { overflow = true; return -1; }
