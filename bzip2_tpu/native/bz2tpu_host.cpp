@@ -2482,10 +2482,23 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
       w.put(0, 1);
     }
   }
-  for (i64 i = 0; i < n_mtf; i++) {  // payload
-    i32 t2 = selectors[i / 50];
-    u16 sym = mtfv[i];
-    w.put(codes[t2][sym], lens[t2][sym]);
+  for (i64 g0 = 0; g0 < n_mtf; g0 += 50) {  // payload, group-blocked
+    i32 t2 = selectors[g0 / 50];
+    const u32* cd = codes[t2];
+    const i32* ln = lens[t2];
+    i64 hi = g0 + 50 < n_mtf ? g0 + 50 : n_mtf;
+    i64 i = g0;
+    for (; i + 1 < hi; i += 2) {  // pair symbols when they fit one put
+      u16 s1 = mtfv[i], s2 = mtfv[i + 1];
+      i32 l1 = ln[s1], l2 = ln[s2];
+      if (l1 + l2 <= 32) {
+        w.put((cd[s1] << l2) | cd[s2], l1 + l2);
+      } else {
+        w.put(cd[s1], l1);
+        w.put(cd[s2], l2);
+      }
+    }
+    for (; i < hi; i++) w.put(cd[mtfv[i]], ln[mtfv[i]]);
   }
   i64 bits = w.finish();
   lap("pack");
