@@ -236,7 +236,7 @@ struct Group {
   // fast table: FAST_BITS-wide prefix -> -1 slow path, else bit0 = pair
   // flag, bits[1:5) l1, [5:9) l2, [9:18) sym1, [18:27) sym2 (a pair entry
   // decodes two complete codes per lookup)
-  enum { FAST_BITS = 10 };
+  enum { FAST_BITS = 12 };
   i32 fast[1 << FAST_BITS];
 };
 
