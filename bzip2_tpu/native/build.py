@@ -25,7 +25,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_DIR, "bz2tpu_host.cpp")
 SO = os.path.join(_DIR, "libbz2tpu_host.so")
 
-_BASE = ["g++", "-O3", "-march=native", "-shared", "-fPIC"]
+_BASE = ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+         "-fPIC"]
 
 _TRAIN = r"""
 import sys
