@@ -54,8 +54,18 @@ def _oracle_encode_blocks(blocks, level):
 
 def register_block_encoder(name: str, fn) -> None:
     """Register a batched block encoder: fn(list[RLE1Block], level) ->
-    list[(uint8 array, nbits)] of per-block bit payloads."""
-    _BLOCK_ENCODERS[name] = fn
+    list[(uint8 array, nbits)] of per-block bit payloads.
+
+    Every backend is wrapped with the exactly-periodic origPtr corrector
+    (periodic.patch_payloads): the sorters' last-in-class tie slot matches
+    stock bzip2 on all regular periodic families, and the corrector closes
+    the adversarial residue so bit-exactness vs stock is unconditional."""
+
+    def wrapped(blocks, level, _fn=fn):
+        from . import periodic
+        return periodic.patch_payloads(_fn(blocks, level), blocks, level)
+
+    _BLOCK_ENCODERS[name] = wrapped
 
 
 def _native_encode_blocks(blocks, level):

@@ -615,8 +615,11 @@ class Engine:
         return results
 
     def compress(self, data, level: int = 9) -> bytes:
+        from . import periodic
         blocks = _rle1.encode_blocks(data, level)
-        payloads = self.encode_payloads(blocks, level) if blocks else []
+        payloads = periodic.patch_payloads(
+            self.encode_payloads(blocks, level), blocks, level) \
+            if blocks else []
         w = BitWriter()
         for v in (C.HDR_B, C.HDR_Z, C.HDR_h, C.HDR_0 + level):
             w.write(v, 8)

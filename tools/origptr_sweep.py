@@ -58,6 +58,26 @@ for L in (2, 3, 4, 5, 6):
         results[root] = slots
         print(f"{root!r}: rank0={base_rank} slots(m=2..9)={slots}")
 
+# --fork BIN: also compare the reference fork's (divsufsort) choice.
+# Measured 2026-08-19: the fork disagrees with stock 1.0.8 on EVERY
+# exactly-periodic input tested (e.g. b"ab"*300: fork origPtr=1, stock
+# 299) — the two reference-lineage codecs each pick their own in-class
+# slot, so "the reference bit pattern" is ill-defined here; this repo
+# pins stock (the stdlib) and corrects the residue via
+# bzip2_tpu/periodic.py's black-box probe.
+if len(sys.argv) > 2 and sys.argv[1] == "--fork":
+    import subprocess
+    fork_bin = sys.argv[2]
+    print("\n-- fork (divsufsort) vs stock --")
+    for root, slots in list(results.items())[:8]:
+        for m in (2, 5):
+            data = root * m
+            fork = subprocess.run([fork_bin, "-9", "-c"], input=data,
+                                  capture_output=True).stdout
+            stock = bz2.compress(data, 9)
+            print(f"{root!r}*{m}: fork_op={orig_ptr(fork)} "
+                  f"stock_op={orig_ptr(stock)} same={fork == stock}")
+
 # look for simple laws
 print("\n-- candidate laws --")
 for root, slots in results.items():
