@@ -78,14 +78,27 @@ def _jit_fns(level: int, wt_words: int):
 
     def pipeline(words, goff, gsel, gvalid, limit6, base6, perm6,
                  used_list, n_used, n_mtf, orig):
+        import time
         b = jax.block_until_ready
+        t0 = time.time()
         last, n_out = b(f_a(words, goff, gsel, gvalid, limit6, base6,
                             perm6, used_list, n_used, n_mtf))
+        t1 = time.time()
         out, ok = b(f_b(last, n_out, orig))
+        t2 = time.time()
         raw8, out_len, okf = b(f_c(out, n_out, ok))
+        t3 = time.time()
+        for k, v in (("symbols", t1 - t0), ("ibwt", t2 - t1),
+                     ("tail", t3 - t2)):
+            STAGE_WALL[k] = STAGE_WALL.get(k, 0.0) + v
         return raw8, out_len, okf
 
     return pipeline, N, NOUT, G
+
+
+#: cumulative per-stage device wall (seconds) — VERDICT r2 item 2 asks for
+#: per-stage timings; tracing verbosity >= 3 and bench read this out
+STAGE_WALL: dict = {}
 
 
 class DeviceDecoder:

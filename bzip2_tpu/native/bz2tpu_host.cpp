@@ -2178,13 +2178,13 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   // origPtr on tied (equal) rotations is unconstrained by the format —
   // any in-class slot decodes identically and the stream sizes match.  We
   // pick the LAST in-class slot (class base + m - 1), which empirically
-  // matches stock bzip2 / the reference on every regular periodic family
-  // tested: periods 2/3/5/251, block-filling and sub-block, levels 1 and
-  // 9, plus all-equal tiny blocks (tests/test_periodic.py).  The
-  // reference sets origPtr during its induced fill (construct_SA,
-  // blocksort.c:1457-1459,1476-1480,1492-1493); on adversarial roots its
-  // in-class slot follows introsort pivot dynamics, which we document
-  // rather than model (see oracle/bwt.py).
+  // matches stock bzip2 on every regular periodic family tested: periods
+  // 2/3/5/251, block-filling and sub-block, levels 1 and 9, plus
+  // all-equal tiny blocks (tests/test_periodic.py).  The adversarial
+  // residue (chaotic fallbackQSort3 slots; the reference fork's
+  // divsufsort disagrees with stock here too) is corrected at the
+  // payload layer by bzip2_tpu/periodic.py's black-box stock probe, so
+  // the emitted stream is fully bit-exact (see oracle/bwt.py).
   // persistent buffers: fresh multi-MB allocations re-fault on this VM
   static thread_local std::vector<u8> last;
   if ((i32)last.size() < n) last.resize(n);

@@ -23,17 +23,20 @@ which matches stock bzip2 / the reference fork on every regular periodic
 family measured: periods 2/3/5/251 at block-filling and sub-block sizes,
 levels 1 and 9, all-equal blocks (``b"aa"``, ``b"aaa"``), plus ~84% of an
 exhaustive sweep of small binary periodic roots (tests/test_periodic.py).
-The residue (e.g. root ``aaba`` at m=2: reference picks in-class slot 0; at
+The residue (e.g. root ``aaba`` at m=2: stock picks in-class slot 0; at
 m=3 slot 1; at m=4 slot 0 again) was characterised by a black-box sweep of
 every primitive binary root of length <= 6 at m = 2..9
-(tools/origptr_sweep.py): the reference's in-class slot sequences are
-root-specific and non-monotonic in m (``abbaab`` -> 1,2,1,1,2,0,3,1;
-``baabba`` -> 0,0,0,0,0,3,0,4), i.e. they are the internal rank order its
-trsort doubling assigns to the m identical copies — reproducible only by
-re-running that exact algorithm, which this from-scratch implementation
-deliberately does not contain.  For those roots our stream is bit-identical
-*except* the 24-bit origPtr field (asserted by test_periodic.py's masked
-comparison) and decodes to the same bytes at the same size.
+(tools/origptr_sweep.py): stock's in-class slot sequences are root-specific
+and non-monotonic in m (``abbaab`` -> 1,2,1,1,2,0,3,1; ``baabba`` ->
+0,0,0,0,0,3,0,4) — fallbackQSort3 pivot dynamics with no closed form.  The
+reference fork's divsufsort picks a *third* ordering that disagrees with
+stock on every exactly-periodic input tested (fork origPtr=1 vs stock 299
+on ``b"ab"*300``), so "the reference bit pattern" is ill-defined here;
+stock (the stdlib) is this repo's declared oracle.  The encode paths close
+the residue with ``bzip2_tpu.periodic``: exactly-periodic blocks get their
+24-bit field rewritten to stock's own choice (black-box probe, cached), so
+the emitted stream is fully bit-exact vs stock — asserted without masking
+by test_periodic.py.
 """
 from __future__ import annotations
 
