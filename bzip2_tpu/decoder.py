@@ -37,8 +37,8 @@ from . import native
 #: blocks per device batch (8 measured fastest: 16-block stage programs
 #: compile to ~4x slower schedules on this chip — wider is not better)
 BATCH = 8
-#: walkers per block in the inverse-BWT splitter walk
-WALKERS = 512
+#: wave-1 walkers per block in the inverse-BWT splitter walk
+WALKERS = 1024
 
 
 def _jit_fns(level: int, wt_words: int):
@@ -57,10 +57,12 @@ def _jit_fns(level: int, wt_words: int):
     # while more than one QUEUED executable wedges the tunneled runtime
     # (same instability family as the one-pallas-executable rule) — three
     # groups balance fusion quality against per-sync tunnel latency.
-    def grp_symbols(words, goff, gsel, gvalid, limit6, base6, perm6,
-                    used_list, n_used, n_mtf):
-        syms = D.decode_symbols(words, goff, gsel, gvalid, limit6, base6,
-                                perm6)
+    def grp_symbols(words, goff, gsel, gvalid, lens6, alpha):
+        lut1, lut2, ebase = D.build_tables(lens6, alpha)
+        return D.decode_symbols(words, goff, gsel, gvalid, lut1, lut2,
+                                ebase)
+
+    def grp_mtf(syms, used_list, n_used, n_mtf):
         vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
         return D.rle2_expand(syms, vals, n_used, n_mtf, N)
 
@@ -73,24 +75,28 @@ def _jit_fns(level: int, wt_words: int):
         return raw.astype(jnp.uint8), out_len, ok & fits
 
     f_a = jax.jit(grp_symbols)
+    f_m = jax.jit(grp_mtf)
     f_b = jax.jit(lambda l, n, o: D.ibwt(l, n, o, WALKERS))
     f_c = jax.jit(grp_tail)
 
-    def pipeline(words, goff, gsel, gvalid, limit6, base6, perm6,
+    def pipeline(words, goff, gsel, gvalid, lens6, alpha,
                  used_list, n_used, n_mtf, orig):
         import time
         b = jax.block_until_ready
         t0 = time.time()
-        last, n_out = b(f_a(words, goff, gsel, gvalid, limit6, base6,
-                            perm6, used_list, n_used, n_mtf))
+        syms = b(f_a(words, goff, gsel, gvalid, lens6, alpha))
         t1 = time.time()
-        out, ok = b(f_b(last, n_out, orig))
+        last, n_out = b(f_m(syms, used_list, n_used, n_mtf))
         t2 = time.time()
-        raw8, out_len, okf = b(f_c(out, n_out, ok))
+        out, ok = b(f_b(last, n_out, orig))
         t3 = time.time()
-        for k, v in (("symbols", t1 - t0), ("ibwt", t2 - t1),
-                     ("tail", t3 - t2)):
-            STAGE_WALL[k] = STAGE_WALL.get(k, 0.0) + v
+        raw8, out_len, okf = b(f_c(out, n_out, ok))
+        t4 = time.time()
+        for k, v in (("symbols", t1 - t0), ("mtf+rle2", t2 - t1),
+                     ("ibwt", t3 - t2), ("tail", t4 - t3)):
+            _stage_add(k, v)
+        # the d2h fetch happens in _drain_batch, which the stream loop
+        # runs on a side thread overlapped with the NEXT batch's stages
         return raw8, out_len, okf
 
     return pipeline, N, NOUT, G
@@ -99,6 +105,14 @@ def _jit_fns(level: int, wt_words: int):
 #: cumulative per-stage device wall (seconds) — VERDICT r2 item 2 asks for
 #: per-stage timings; tracing verbosity >= 3 and bench read this out
 STAGE_WALL: dict = {}
+_STAGE_LOCK = __import__("threading").Lock()
+
+
+def _stage_add(key: str, wall: float) -> None:
+    """Accumulate under a lock: concurrent pipeline calls from multiple
+    engine worker threads would otherwise lose increments (ADVICE r3)."""
+    with _STAGE_LOCK:
+        STAGE_WALL[key] = STAGE_WALL.get(key, 0.0) + wall
 
 
 class DeviceDecoder:
@@ -149,9 +163,8 @@ class DeviceDecoder:
         goff = np.zeros((B, G), np.int32)
         gsel = np.zeros((B, G), np.int32)
         gvalid = np.zeros((B, G), bool)
-        limit6 = np.full((B, 6, 23), -1, np.int32)
-        base6 = np.zeros((B, 6, 23), np.int32)
-        perm6 = np.zeros((B, 6, 258), np.int32)
+        lens6 = np.zeros((B, 6, 258), np.int32)
+        alpha = np.full(B, 2, np.int32)
         used_list = np.zeros((B, 256), np.int32)
         n_used = np.ones(B, np.int32)
         n_mtf = np.ones(B, np.int32)
@@ -164,8 +177,8 @@ class DeviceDecoder:
             goff[i, :g] = pb.group_offsets - wbase * 32
             gsel[i, :g] = pb.selectors[:g]
             gvalid[i, :g] = True
-            l, b, p = D.build_tables_np(pb.lens, pb.n_used + 2)
-            limit6[i], base6[i], perm6[i] = l, b, p
+            lens6[i] = pb.lens
+            alpha[i] = pb.n_used + 2
             ul = np.flatnonzero(pb.used)
             used_list[i, : ul.size] = ul
             n_used[i] = pb.n_used
@@ -176,15 +189,15 @@ class DeviceDecoder:
         # batch's native parse still overlaps via the parse-ahead thread
         res = fn(
             jnp.asarray(words_np), jnp.asarray(goff), jnp.asarray(gsel),
-            jnp.asarray(gvalid), jnp.asarray(limit6), jnp.asarray(base6),
-            jnp.asarray(perm6), jnp.asarray(used_list), jnp.asarray(n_used),
+            jnp.asarray(gvalid), jnp.asarray(lens6), jnp.asarray(alpha),
+            jnp.asarray(used_list), jnp.asarray(n_used),
             jnp.asarray(n_mtf), jnp.asarray(orig))
         return res
 
     @staticmethod
     def _drain_batch(res, pbs):
-        raw, out_len, ok = res
-        raw = np.asarray(raw)
+        raw_dev, out_len, ok = res
+        raw = np.asarray(raw_dev)   # d2h, overlapped with the next batch
         out_len = np.asarray(out_len)
         ok = np.asarray(ok)
         outs = []
@@ -366,8 +379,14 @@ class DeviceDecoder:
                             return pbs, pos, False
                     return pbs, pos, self._peek48(buf, pos) == C.BLOCK_MAGIC
 
+                # three-way overlap: the parse-ahead thread scans batch
+                # k+1's headers, the main thread drives batch k's device
+                # stages, and the commit thread fetches + CRC-checks
+                # batch k-1's output — d2h rides under device compute.
                 pending = None
-                with _cf.ThreadPoolExecutor(max_workers=1) as ex:
+                cfut = None
+                with _cf.ThreadPoolExecutor(max_workers=1) as ex, \
+                        _cf.ThreadPoolExecutor(max_workers=1) as cex:
                     fut = ex.submit(parse_batch, pos_bit)
                     while True:
                         parsed = fut.result()
@@ -377,13 +396,19 @@ class DeviceDecoder:
                         pbs, newpos, more = parsed
                         if more:
                             fut = ex.submit(parse_batch, newpos)
-                        res = self._decode_batch(buf, level, pbs)
                         if pending is not None:
-                            commit(*pending)
+                            cfut = cex.submit(commit, *pending)
+                            pending = None
+                        res = self._decode_batch(buf, level, pbs)
+                        if cfut is not None:
+                            cfut.result()
+                            cfut = None
                         pending = (res, pbs, pos_bit, newpos)
                         pos_bit = newpos
                         if not more:
                             break
+                    if cfut is not None:
+                        cfut.result()
                 if pending is not None:
                     commit(*pending)
             if parse_fail:

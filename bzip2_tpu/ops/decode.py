@@ -44,78 +44,128 @@ MTF_UNROLL = 8
 
 # --------------------------------------------------------------- tables ---
 
-def build_tables_np(lens: np.ndarray, alpha: int):
-    """Host-side canonical decode tables from code lengths (one block).
+LUT_BITS = 12
+#: 12-bit windows the >12-bit code region can span.  A Kraft-complete
+#: table's long-code probability mass is at most 258 * 2^-13, i.e. at most
+#: ceil(258/2) = 129 windows — 132 covers every table the native parse's
+#: Kraft validation admits, so there is no fallback path.
+ESC_PREFIXES = 132
 
-    lens: (6, 258) uint8 (unused tables all-zero).  Returns
-    (limit (6,23) i32 with -1 at invalid lengths, base (6,23) i32,
-    perm (6,258) i32) — limit[t, l-1] is the largest code of length l
-    (huffman.c:180-236 semantics; validation happened in the native
-    parse)."""
-    limit = np.full((6, 23), -1, np.int32)
-    base = np.zeros((6, 23), np.int32)
-    perm = np.zeros((6, 258), np.int32)
-    for t in range(6):
-        tl = lens[t, :alpha].astype(np.int32)
-        if not tl.any():
-            continue
-        min_len, max_len = int(tl.min()), int(tl.max())
-        cnt = np.bincount(tl, minlength=25)
-        order = np.argsort(tl, kind="stable")
-        perm[t, :alpha] = order
-        code = 0
-        total = 0
-        for l in range(min_len, max_len + 1):
-            base[t, l - 1] = code - total
-            code += int(cnt[l])
-            total += int(cnt[l])
-            limit[t, l - 1] = code - 1
-            code <<= 1
-    return limit, base, perm
+
+def build_tables(lens, alpha):
+    """Batched canonical decode LUTs, built ON DEVICE from code lengths
+    (the only per-block table data the host transfers is lens itself,
+    ~6 KB/block).
+
+    lens (B, 6, A) i32 (unused tables all-zero); alpha (B,) i32.  Returns
+    (lut1 (B,6,4096) i32, lut2 (B,6,ESC_PREFIXES*256) i32,
+    esc_base (B,6) i32); entries are len | sym<<5, 0 = escape to lut2 (or
+    invalid input).
+
+    lut1 is a direct 12-bit-window lookup — the fan-out generalization of
+    the reference's 8-bit fast-start table (huffman.c:170-236,
+    bzlib_private.h:142).  Canonical allocation puts all >12-bit codes in
+    one contiguous window suffix [esc_base, 4096), which lut2 resolves
+    from the top 20 window bits (the format's range check caps code
+    lengths at 20, decompress.c:411-423).  Construction is three
+    scatter+cummax range fills over the canonical codes from
+    assign_codes_lanes (huffman.c:152-166 semantics)."""
+    from ..constants import MAX_ALPHA_SIZE as A
+    from .huffman import assign_codes_lanes
+
+    B = lens.shape[0]
+    L = B * 6
+    lensf = lens.reshape(L, A).astype(jnp.int32)
+    alpha6 = jnp.repeat(alpha.astype(jnp.int32), 6)
+    codes = assign_codes_lanes(lensf, alpha6)              # (L, A)
+    sym = jnp.arange(A, dtype=jnp.int32)[None, :]
+    active = sym < alpha6[:, None]
+    payload = jnp.where(active, lensf | (sym << 5), 0)
+    brl = jnp.arange(L, dtype=jnp.int32)[:, None]
+
+    def range_fill(width, pos, val, extra_pos=None, extra_val=None):
+        """Scatter (pos<<15 | val) marks, cummax, keep the low 15 bits.
+        Marks carry their own position in the high bits so the running max
+        resolves each window to the latest preceding range start."""
+        buf = jnp.zeros((L, width + 1), jnp.int32).at[
+            brl, jnp.where(val > 0, jnp.clip(pos, 0, width - 1), width)
+        ].set(jnp.where(val > 0, (jnp.clip(pos, 0, width - 1) << 15) | val,
+                        0))
+        if extra_pos is not None:
+            buf = buf.at[brl[:, 0], jnp.where(extra_pos < width, extra_pos,
+                                              width)].set(extra_val)
+        return lax.cummax(buf[:, :width], axis=1) & 0x7FFF
+
+    short = active & (lensf >= 1) & (lensf <= LUT_BITS)
+    start1 = jnp.where(short, codes << jnp.clip(LUT_BITS - lensf, 0, 12), 0)
+    # escape base = total window span of short codes (complete tables
+    # cover [0, ebase) exactly)
+    ebase = jnp.sum(
+        jnp.where(short, 1 << jnp.clip(LUT_BITS - lensf, 0, 12), 0), axis=1)
+    lut1 = range_fill(1 << LUT_BITS, start1, jnp.where(short, payload, 0),
+                      extra_pos=ebase, extra_val=ebase << 15)
+
+    longm = active & (lensf > LUT_BITS)
+    start2 = jnp.where(
+        longm, (codes << jnp.clip(20 - lensf, 0, 8)) - (ebase[:, None] << 8),
+        0)
+    lut2 = range_fill(ESC_PREFIXES << 8, start2,
+                      jnp.where(longm & (start2 >= 0), payload, 0))
+    return (lut1.reshape(B, 6, 1 << LUT_BITS),
+            lut2.reshape(B, 6, ESC_PREFIXES << 8),
+            ebase.reshape(B, 6))
 
 
 # -------------------------------------------------------- symbol decode ---
 
-def decode_symbols(words, goff, gsel, gvalid, limit6, base6, perm6):
+def decode_symbols(words, goff, gsel, gvalid, lut1, lut2, esc_base):
     """words: flat (WT,) u32 big-endian bit buffer shared by the whole
     batch; goff (B,G) i32 absolute bit offsets into it; gsel (B,G) i32;
-    gvalid (B,G) bool; limit6/base6 (B,6,23) i32; perm6 (B,6,258) i32.
-    Returns syms (B, G*50) i32 in stream order (garbage in invalid
-    lanes)."""
+    gvalid (B,G) bool; lut1/lut2/esc_base from build_tables, batched
+    (B, ...).  Returns syms (B, G*50) i32 in stream order (garbage in
+    invalid lanes).
+
+    Each group decodes its 50 symbols serially (the in-group bit chain),
+    all B*G groups in parallel; a symbol costs three (B,G) gathers — one
+    byte-granular 25-bit window read (wb8, below) plus the one-or-two-
+    level LUT probes — instead of the 23-wide canonical limit compare
+    (whose (B,G,23) operand traffic dominated the round-3 version).
+    The stage is gather-throughput-bound, so the gather count per symbol
+    IS the cost model."""
     WT = words.shape[0]
     B, G = goff.shape
-    larange = jnp.arange(1, 24, dtype=jnp.int32)          # code lengths
-
-    # per-lane limit/base rows via 6-way select (no gather)
-    def lane_rows(tab6):
-        out = jnp.zeros((B, G, 23), jnp.int32)
-        for t in range(6):
-            out = jnp.where((gsel == t)[:, :, None], tab6[:, t][:, None, :],
-                            out)
-        return out
-
-    glimit = lane_rows(limit6)
-    gbase = lane_rows(base6)
-    perm_flat = perm6.reshape(B, 6 * 258)
+    # wb8[i] = the 32-bit big-endian window starting at byte i: one gather
+    # yields >= 25 valid bits after the (off & 7) shift, and every code is
+    # <= 20 bits (decompress.c:411-423 range check), so a single read
+    # suffices.  Built once per batch from four byte-plane rolls.
+    b0 = words >> 24
+    b1 = (words >> 16) & 0xFF
+    b2 = (words >> 8) & 0xFF
+    b3 = words & 0xFF
+    byts = jnp.stack([b0, b1, b2, b3], axis=1).reshape(4 * WT)
+    wb8 = ((byts << 24) | (jnp.roll(byts, -1) << 16)
+           | (jnp.roll(byts, -2) << 8) | jnp.roll(byts, -3))
+    lut1f = lut1.reshape(B, 6 << LUT_BITS)
+    lut2f = lut2.reshape(B, 6 * (ESC_PREFIXES << 8))
+    # per-lane escape base via 6-way select (tiny)
+    ebase = jnp.zeros((B, G), jnp.int32)
+    for t in range(6):
+        ebase = jnp.where(gsel == t, esc_base[:, t][:, None], ebase)
 
     def step(off, _):
-        wi = jnp.clip(off >> 5, 0, WT - 1)
-        sh = (off & 31).astype(jnp.uint32)
-        w0 = jnp.take(words, wi, mode="clip")
-        w1 = jnp.take(words, jnp.minimum(wi + 1, WT - 1), mode="clip")
-        w = (w0 << sh) | jnp.where(sh > 0, w1 >> (32 - sh), 0)
-        codes = (w[:, :, None] >> (32 - larange).astype(jnp.uint32)
-                 ).astype(jnp.int32)                       # (B,G,23)
-        ok = codes <= glimit
-        lenm = jnp.min(jnp.where(ok, larange, 99), axis=-1)
-        lenc = jnp.minimum(lenm, 23)
-        code = (w >> (32 - lenc).astype(jnp.uint32)).astype(jnp.int32)
-        base_l = jnp.take_along_axis(gbase, (lenc - 1)[:, :, None],
-                                     axis=2)[:, :, 0]
-        pidx = jnp.clip(code - base_l, 0, 257)
-        sym = jnp.take_along_axis(perm_flat, gsel * 258 + pidx, axis=1)
-        off2 = off + jnp.where(gvalid & (lenm < 99), lenm, 0)
-        return off2, sym.astype(jnp.int16)
+        wi = jnp.clip(off >> 3, 0, 4 * WT - 1)
+        sh = (off & 7).astype(jnp.uint32)
+        w = jnp.take(wb8, wi, mode="clip") << sh
+        w12 = (w >> (32 - LUT_BITS)).astype(jnp.int32)
+        e1 = jnp.take_along_axis(lut1f, (gsel << LUT_BITS) + w12, axis=1)
+        loc2 = ((w >> 12).astype(jnp.int32) - (ebase << 8))
+        idx2 = gsel * (ESC_PREFIXES << 8) + jnp.clip(
+            loc2, 0, (ESC_PREFIXES << 8) - 1)
+        e2 = jnp.take_along_axis(lut2f, idx2, axis=1)
+        entry = jnp.where(e1 > 0, e1, e2)
+        length = entry & 31
+        off2 = off + jnp.where(gvalid, length, 0)
+        return off2, (entry >> 5).astype(jnp.int16)
 
     _, syms = lax.scan(step, goff, None, length=G_SIZE)    # (50, B, G)
     return jnp.transpose(syms, (1, 2, 0)).reshape(B, G * G_SIZE
@@ -124,37 +174,73 @@ def decode_symbols(words, goff, gsel, gvalid, limit6, base6, perm6):
 
 # ---------------------------------------------------------------- MTF^-1 ---
 
-def mtf_inverse(syms, used_list, n_used, n_mtf):
+MTF_CHUNKS = 512
+
+
+def mtf_inverse(syms, used_list, n_used, n_mtf, n_chunks: int = MTF_CHUNKS):
     """syms (B,M) i32; used_list (B,256) i32 initial MTF list (padded 0);
     n_used/n_mtf (B,) i32.  Returns vals (B,M) i32: the decoded byte per
-    symbol (for RUNA/RUNB, the byte the zero-run repeats)."""
+    symbol (for RUNA/RUNB, the byte the zero-run repeats).
+
+    Chunked permutation-monoid formulation: the MTF list update for a
+    decoded rank r is the fixed cycle (0 1 .. r) on *positions* — it does
+    not depend on the list contents — so the list after any prefix is the
+    initial list gathered through a composed permutation.  M splits into
+    ``n_chunks`` chunks processed concurrently: a short local scan per
+    chunk computes each symbol's index into the chunk-start list plus the
+    chunk's net permutation; a cheap sequential compose over chunk
+    summaries (n_chunks steps of a (B,256) gather) then anchors every
+    chunk to the true initial list.  Turns the reference's strictly
+    sequential hot loop (decompress.c:476-664) into ~M/n_chunks-deep
+    data-parallel work."""
     B, M = syms.shape
+    C = n_chunks
     U = MTF_UNROLL
-    Mp = -(-M // U) * U
+    K = -(-(-(-M // C)) // U) * U                         # chunk len, pad U
+    Mp = C * K
     syms_p = jnp.pad(syms, ((0, 0), (0, Mp - M)),
                      constant_values=10_000)               # no-op symbols
-    xs = syms_p.reshape(B, Mp // U, U).transpose(1, 0, 2)  # (steps, B, U)
+    xs = syms_p.reshape(B, C, K // U, U).transpose(2, 0, 1, 3)
     j256 = jnp.arange(256, dtype=jnp.int32)
+    lst0 = jnp.broadcast_to(j256, (B, C, 256)).astype(jnp.int32)
+    nu = n_used[:, None]
 
     def one(lst, s):
         r = jnp.clip(s - 1, 0, 255)
-        v = jnp.take_along_axis(lst, r[:, None], axis=1)[:, 0]
-        out = jnp.where(s <= 1, lst[:, 0], v)
-        upd = (s >= 2) & (s <= n_used)
-        shifted = jnp.concatenate([v[:, None], lst[:, :-1]], axis=1)
-        lst = jnp.where(upd[:, None] & (j256[None, :] <= r[:, None]),
+        v = jnp.take_along_axis(lst, r[:, :, None], axis=2)[:, :, 0]
+        e = jnp.where(s <= 1, lst[:, :, 0], v)
+        upd = (s >= 2) & (s <= nu)
+        shifted = jnp.concatenate([v[:, :, None], lst[:, :, :-1]], axis=2)
+        lst = jnp.where(upd[:, :, None] & (j256 <= r[:, :, None]),
                         shifted, lst)
-        return lst, out
+        return lst, e
 
     def step(lst, su):
-        outs = []
+        es = []
         for u in range(U):
-            lst, o = one(lst, su[:, u])
-            outs.append(o)
-        return lst, jnp.stack(outs, axis=1)               # (B, U)
+            lst, e = one(lst, su[:, :, u])
+            es.append(e)
+        return lst, jnp.stack(es, axis=2)                  # (B, C, U)
 
-    _, vals = lax.scan(step, used_list, xs)               # (steps, B, U)
-    return vals.transpose(1, 0, 2).reshape(B, Mp)[:, :M]
+    P, es = lax.scan(step, lst0, xs)      # P (B,C,256): chunk permutations
+    e = jnp.transpose(es, (1, 2, 0, 3)).reshape(B, C, K)
+
+    # Sequential exclusive compose over chunk summaries:
+    # S_{c+1} = S_c[P_c]; anchor to values F_c = L0[S_c] as we go.
+    def comp(S, Pc):
+        return jnp.take_along_axis(S, Pc, axis=1), S
+
+    _, S_all = lax.scan(comp,
+                        jnp.broadcast_to(j256, (B, 256)).astype(jnp.int32),
+                        jnp.transpose(P, (1, 0, 2)))
+    S_all = jnp.transpose(S_all, (1, 0, 2))                # (B,C,256) excl.
+    F = jnp.take_along_axis(
+        jnp.broadcast_to(used_list[:, None, :], (B, C, 256)), S_all, axis=2)
+    out = jnp.take_along_axis(
+        F.reshape(B, C * 256),
+        (jnp.arange(C, dtype=jnp.int32)[None, :, None] * 256
+         + jnp.clip(e, 0, 255)).reshape(B, Mp), axis=1)
+    return out[:, :M]
 
 
 # ------------------------------------------------- RLE2 + BWT last column ---
@@ -186,25 +272,35 @@ def rle2_expand(syms, vals, n_used, n_mtf, N):
 
 # ----------------------------------------------------------- inverse BWT ---
 
-WALK_WAVES = 3
 
-
-def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
+def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
     """last (B,N) i32; n_out (B,); orig_ptr (B,).  Returns
     (out (B,N) i32 decoded post-RLE1 bytes, ok (B,) bool — False when a
-    walker exceeded the step cap and the lane needs the host fallback).
+    lane exceeded the total step budget and needs the host fallback).
 
-    Successor array from one stable sort; then S evenly spaced splitter
-    positions — plus the true start position seq_0 = A[orig_ptr] as a
-    forced splitter (walker S) — cut the permutation cycle into segments
-    walked concurrently over WALK_WAVES waves of ``cap`` steps.  Segment
-    ranks come from chasing the splitter-successor graph from walker S on
-    device; the final reorder is a scatter of segment-start marks + a
-    running max, then one gather.  Lanes whose walkers exceed every wave
-    cap (adversarially skewed cycles) flag ``ok`` False."""
+    Successor array from one stable sort, packed with the emitted char
+    as ``tt = A<<8 | last`` so the walk costs ONE gather per step (the
+    reference's tt composition, decompress.c:767-790).  W1-1 evenly
+    spaced splitter positions plus the true start seq_0 = A[orig_ptr]
+    (walker W1-1) cut the permutation cycle into segments.
+
+    Wave 1 walks all W1 lanes under an early-exiting while_loop capped at
+    2x the mean segment length; surviving long segments (expected
+    W1*e^-2) compact into W1/4 lanes and continue under the remaining
+    budget, again exiting as soon as every lane finishes — so the wall
+    tracks the actual maximum segment length (~mean*ln W1), not the
+    worst-case budget.  Segment ranks come from pointer jumping over the
+    walker-successor graph (log W1 rounds); assembly is one scatter of
+    segment-start marks + running max + one flat gather across both wave
+    buffers.  A lane flags ``ok`` False only when the budget (default
+    32x mean) is exhausted or wave-2 lanes overflow — probability ~e^-30
+    per segment on any input without adversarial cycle structure, and
+    still merely a correctness-preserving host heal when it fires."""
     B, N = last.shape
-    S = n_walkers
-    SW = S + 1                                             # + seq_0 walker
+    W1 = n_walkers
+    assert W1 <= 1024, "mark packing holds 11 bits of lane id"
+    W2 = max(W1 // 4, 8)
+    S = W1 - 1                                  # regular splitter count
     br = jnp.arange(B, dtype=jnp.int32)[:, None]
     idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     n = jnp.maximum(n_out, 1)[:, None]                     # (B,1)
@@ -212,14 +308,15 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
     key = jnp.where(idx < n, last, 1 << 20)
     _, A = lax.sort((key, jnp.broadcast_to(idx, (B, N))), dimension=1,
                     is_stable=True, num_keys=1)            # successor map
+    tt = (A << 8) | jnp.where(idx < n, last & 0xFF, 0)     # packed succ+char
 
     start_pos = jnp.take_along_axis(A, orig_ptr[:, None], axis=1)  # (B,1)
 
     # splitters p_j = floor(j*n/S) for j < S, deduplicated when n < S and
-    # against the forced seq_0 splitter
-    j_s = jnp.arange(SW, dtype=jnp.int32)[None, :]
+    # against the forced seq_0 splitter (walker S)
+    j_s = jnp.arange(W1, dtype=jnp.int32)[None, :]
     p_reg = (j_s[:, :S] * n) // S
-    p_j = jnp.concatenate([p_reg, start_pos], axis=1)      # (B, SW)
+    p_j = jnp.concatenate([p_reg, start_pos], axis=1)      # (B, W1)
     w_valid = jnp.concatenate(
         [jnp.ones((B, 1), bool), p_reg[:, 1:] != p_reg[:, :-1],
          jnp.ones((B, 1), bool)], axis=1)
@@ -234,80 +331,121 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 512, cap_factor: int = 3):
         sid = jnp.where(hit, jq, -1)
         return jnp.where(q == start_pos, S, sid)
 
-    cap = cap_factor * (N // S + 1)
+    m = N // S + 1                                         # mean seg len
+    cap1 = 2 * m
+    cap2 = max((budget - 2) * m, 1)
+    assert cap1 <= 0x7FF and W2 <= 0x7FF, "assembly mark packing (11 bits)"
 
-    def wave(cur):
-        """cur (B,SW) positions (-1 idle) -> (chars (B,SW,cap) u8,
-        cnt (B,SW), hitj (B,SW), cur2 (B,SW) -1 when finished)."""
-        def wstep(carry, _):
-            cur, cnt, hitj = carry
+    def wave(cur0, W, cap):
+        """Walk W lanes until every segment ends or ``cap`` steps pass;
+        the while_loop exits as soon as all lanes are done, so quiet
+        waves cost actual-steps, not cap."""
+        buf0 = jnp.zeros((B, W, cap), jnp.uint8)
+
+        def cond(st):
+            cur, _, _, _, t = st
+            return (t < cap) & jnp.any(cur >= 0)
+
+        def body(st):
+            cur, cnt, hitj, buf, t = st
             active = cur >= 0
             cc = jnp.clip(cur, 0, N - 1)
-            ch = jnp.take_along_axis(last, cc, axis=1)
-            nxt = jnp.take_along_axis(A, cc, axis=1)
+            v = jnp.take_along_axis(tt, cc, axis=1)
+            nxt = v >> 8
             sid = splitter_id(nxt)
             done = active & (sid >= 0)
             hitj = jnp.where(done, sid, hitj)
-            cnt = cnt + jnp.where(active, 1, 0)
+            cnt = cnt + active.astype(jnp.int32)
             cur = jnp.where(active & ~done, nxt, -1)
-            return (cur, cnt, hitj), jnp.where(active, ch, 0).astype(jnp.uint8)
+            buf = lax.dynamic_update_slice(
+                buf, jnp.where(active, v & 0xFF, 0
+                               ).astype(jnp.uint8)[:, :, None], (0, 0, t))
+            return cur, cnt, hitj, buf, t + 1
 
-        (cur2, cnt, hitj), chars = lax.scan(
-            wstep, (cur, jnp.zeros((B, SW), jnp.int32),
-                    jnp.full((B, SW), -1, jnp.int32)), None, length=cap)
-        return jnp.transpose(chars, (1, 2, 0)), cnt, hitj, cur2
+        cur, cnt, hitj, buf, _ = lax.while_loop(
+            cond, body, (cur0, jnp.zeros((B, W), jnp.int32),
+                         jnp.full((B, W), -1, jnp.int32), buf0, jnp.int32(0)))
+        return cur, cnt, hitj, buf
 
     cur0 = jnp.where(w_valid, p_j, -1)
-    chars1, cnt1, hitj1, cur1 = wave(cur0)
-    chars2, cnt2, hitj2, cur2 = wave(cur1)   # rare long segments continue
-    chars3, cnt3, hitj3, cur3 = wave(cur2)
-    ok = ~jnp.any(cur3 >= 0, axis=1)
+    cur1, cnt1, hitj1, buf1 = wave(cur0, W1, cap1)
 
-    cnt = cnt1 + cnt2 + cnt3
-    hitj = jnp.where(hitj1 >= 0, hitj1,
-                     jnp.where(hitj2 >= 0, hitj2, hitj3))
+    # compact the rare survivors (long segments) into W2 lanes
+    surv = cur1 >= 0
+    dest = jnp.cumsum(surv.astype(jnp.int32), axis=1) - 1
+    over = jnp.any(surv & (dest >= W2), axis=1)
+    slot = jnp.where(surv & (dest < W2), dest, W2)
+    cur2in = jnp.full((B, W2 + 1), -1, jnp.int32).at[br, slot].set(
+        jnp.where(surv, cur1, -1))[:, :W2]
+    src_id = jnp.full((B, W2 + 1), -1, jnp.int32).at[br, slot].set(
+        jnp.where(surv, j_s, -1))[:, :W2]
+    cur2, cnt2c, hitj2c, buf2 = wave(cur2in, W2, cap2)
+    ok = ~(jnp.any(cur2 >= 0, axis=1) | over)
+
+    # merge wave-2 results back onto their originating walkers
+    src_c = jnp.clip(src_id, 0, W1 - 1)
+    src_t = jnp.where(src_id >= 0, src_c, W1)
+    add_cnt = jnp.zeros((B, W1 + 1), jnp.int32).at[br, src_t].set(
+        cnt2c)[:, :W1]
+    fix_hit = jnp.full((B, W1 + 1), -1, jnp.int32).at[br, src_t].set(
+        hitj2c)[:, :W1]
+    cnt = cnt1 + add_cnt
+    hitj = jnp.where(hitj1 >= 0, hitj1, fix_hit)
     hitj = jnp.where(w_valid, hitj, -1)
 
-    # segment ranks: chase the splitter cycle from walker S (seq_0)
-    def chase(carry, _):
-        j, act = carry
-        jc = jnp.clip(j, 0, SW - 1)
-        nj = jnp.take_along_axis(hitj, jc[:, None], axis=1)[:, 0]
-        act_next = act & (nj != S)         # cycle closed once back at S
-        return (nj, act_next), (jc, act)
+    # segment ranks by pointer jumping over the walker chain: hitj is the
+    # successor walker; seq_0 (walker S) is rank 0 and the zero-distance
+    # terminal, so unconditional jumping yields distance-to-seq_0 in
+    # log2(W1) rounds and rank = (live_count - dist) mod live_count.
+    live = w_valid & (cnt > 0)
+    terminal = (~live) | (j_s == S)
+    ptr = jnp.where(terminal, j_s, jnp.clip(hitj, 0, W1 - 1))
+    dist = jnp.where(terminal, 0, 1)
+    for _ in range(max(W1.bit_length(), 1)):
+        dist = dist + jnp.take_along_axis(dist, ptr, axis=1)
+        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
+    total = jnp.sum(live.astype(jnp.int32), axis=1)[:, None]
+    rank = jnp.where(live, (total - dist) % jnp.maximum(total, 1), W1)
 
-    (_, _), (order, actv) = lax.scan(
-        chase, (jnp.full((B,), S, jnp.int32), jnp.ones((B,), bool)), None,
-        length=SW)
-    order, actv = order.T, actv.T                          # (B, SW)
-    cnt_in_order = jnp.where(actv, jnp.take_along_axis(cnt, order, axis=1), 0)
-    off_in_order = jnp.cumsum(cnt_in_order, axis=1) - cnt_in_order
-    goffw = jnp.zeros((B, SW + 1), jnp.int32).at[
-        br, jnp.where(actv, order, SW)].set(off_in_order)[:, :SW]
+    # per-walker output offsets: scatter cnt by rank, exclusive cumsum,
+    # gather back
+    cnt_by_rank = jnp.zeros((B, W1 + 1), jnp.int32).at[
+        br, jnp.clip(rank, 0, W1)].set(jnp.where(live, cnt, 0))[:, :W1]
+    off_by_rank = jnp.cumsum(cnt_by_rank, axis=1) - cnt_by_rank
+    goffw = jnp.take_along_axis(
+        jnp.concatenate([off_by_rank, jnp.zeros((B, 1), jnp.int32)], axis=1),
+        jnp.clip(rank, 0, W1), axis=1)
 
-    # assemble: scatter segment-start marks (packed with the start offset
-    # so the running max resolves to the LATEST segment start, not the
-    # largest walker id), running-max fill, gather
-    seg_live = w_valid & (cnt > 0)
-    mark = jnp.zeros((B, N + 1), jnp.int32).at[
-        br, jnp.where(seg_live, jnp.clip(goffw, 0, N - 1), N)
-    ].set(jnp.where(seg_live,
-                    (jnp.clip(goffw, 0, N - 1) << 11) | (j_s + 1), 0))[:, :N]
-    lane_of = (lax.cummax(mark, axis=1) & 0x7FF) - 1       # walker per pos
-    lane_c = jnp.clip(lane_of, 0, SW - 1)
-    pos_in = idx - jnp.take_along_axis(goffw, lane_c, axis=1)
-    c1 = jnp.take_along_axis(cnt1, lane_c, axis=1)
-    c2 = jnp.take_along_axis(cnt2, lane_c, axis=1)
+    # assemble: every per-position walker attribute arrives by scattering
+    # (goffw<<11 | payload) marks at segment starts and cummax-filling —
+    # the offset in the top bits makes the LATEST segment start win, and
+    # three cheap cummax scans replace three (B,N) random gathers.  The
+    # single remaining gather pulls the chars from the concatenated wave
+    # buffers.
+    cap1_s, cap2_s = buf1.shape[2], buf2.shape[2]
+    goc = jnp.clip(goffw, 0, N - 1) << 11
 
-    def gather_wave(chars, rel):
-        flat = chars.reshape(B, SW * cap)
-        g = lane_c * cap + jnp.clip(rel, 0, cap - 1)
-        return jnp.take_along_axis(flat, g, axis=1)
+    def fill(payload):
+        mk = jnp.zeros((B, N + 1), jnp.int32).at[
+            br, jnp.where(live, jnp.clip(goffw, 0, N - 1), N)
+        ].set(jnp.where(live, goc | payload, 0))[:, :N]
+        return lax.cummax(mk, axis=1)
 
-    out = jnp.where(
-        pos_in < c1, gather_wave(chars1, pos_in),
-        jnp.where(pos_in - c1 < c2, gather_wave(chars2, pos_in - c1),
-                  gather_wave(chars3, pos_in - c1 - c2))).astype(jnp.int32)
+    f_lane = fill(j_s + 1)
+    lane_c = jnp.clip((f_lane & 0x7FF) - 1, 0, W1 - 1)     # walker per pos
+    pos_in = idx - (f_lane >> 11)
+    c1 = fill(jnp.minimum(cnt1, 0x7FF)) & 0x7FF            # cap1 < 2048
+    # wave-2 lane of each walker (W2 when it had none)
+    w2lane = jnp.full((B, W1 + 1), W2, jnp.int32).at[br, src_t].set(
+        jnp.arange(W2, dtype=jnp.int32)[None, :])[:, :W1]
+    l2 = fill(w2lane) & 0x7FF
+    in1 = pos_in < c1
+    flat = jnp.concatenate(
+        [buf1.reshape(B, W1 * cap1_s), buf2.reshape(B, W2 * cap2_s)], axis=1)
+    g = jnp.where(in1, lane_c * cap1_s + jnp.clip(pos_in, 0, cap1_s - 1),
+                  W1 * cap1_s + jnp.clip(l2, 0, W2 - 1) * cap2_s
+                  + jnp.clip(pos_in - c1, 0, cap2_s - 1))
+    out = jnp.take_along_axis(flat, g, axis=1).astype(jnp.int32)
     return out, ok
 
 

@@ -67,7 +67,7 @@ def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
     block axis shards cleanly.
 
     fn(words (B, wt) u32, goff (B, G) i32, gsel (B, G) i32,
-       gvalid (B, G) bool, limit6, base6, perm6, used_list, n_used,
+       gvalid (B, G) bool, lens6 (B,6,258), alpha (B,), used_list, n_used,
        n_mtf, orig) -> (raw (B, NOUT) u8, out_len (B,), crc (B,), ok (B,))
     """
     from ..ops import decode as D
@@ -75,7 +75,7 @@ def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
     N = 100_000 * level
     NOUT = N + N // 4 + 64
 
-    def local_step(words, goff, gsel, gvalid, limit6, base6, perm6,
+    def local_step(words, goff, gsel, gvalid, lens6, alpha,
                    used_list, n_used, n_mtf, orig):
         # decode_symbols expects one flat word buffer with absolute bit
         # offsets; flatten the shard's per-block rows and rebase (each
@@ -84,8 +84,9 @@ def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
         flat = words.reshape(bl * wtl)
         goff_abs = goff + (jnp.arange(bl, dtype=jnp.int32)
                            * (wtl * 32))[:, None]
-        syms = D.decode_symbols(flat, goff_abs, gsel, gvalid, limit6, base6,
-                                perm6)
+        lut1, lut2, ebase = D.build_tables(lens6, alpha)
+        syms = D.decode_symbols(flat, goff_abs, gsel, gvalid, lut1, lut2,
+                                ebase)
         vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
         last, n_out = D.rle2_expand(syms, vals, n_used, n_mtf, N)
         out, ok = D.ibwt(last, n_out, orig)
@@ -94,7 +95,7 @@ def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
         return raw.astype(jnp.uint8), out_len, crc, ok & fits
 
     kw = dict(mesh=mesh,
-              in_specs=(P(axis),) * 11,
+              in_specs=(P(axis),) * 10,
               out_specs=(P(axis),) * 4)
     try:
         sharded = shard_map(local_step, check_vma=False, **kw)
@@ -182,9 +183,8 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
     goff = np.zeros((Bp, G), np.int32)
     gsel = np.zeros((Bp, G), np.int32)
     gvalid = np.zeros((Bp, G), bool)
-    limit6 = np.full((Bp, 6, 23), -1, np.int32)
-    base6 = np.zeros((Bp, 6, 23), np.int32)
-    perm6 = np.zeros((Bp, 6, 258), np.int32)
+    lens6 = np.zeros((Bp, 6, 258), np.int32)
+    alpha = np.full(Bp, 2, np.int32)
     used_list = np.zeros((Bp, 256), np.int32)
     n_used = np.ones(Bp, np.int32)
     n_mtf = np.ones(Bp, np.int32)
@@ -200,8 +200,8 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
         goff[i, :g] = pb.group_offsets - wbase * 32
         gsel[i, :g] = pb.selectors[:g]
         gvalid[i, :g] = True
-        limit6[i], base6[i], perm6[i] = D.build_tables_np(
-            pb.lens, pb.n_used + 2)
+        lens6[i] = pb.lens
+        alpha[i] = pb.n_used + 2
         ul = np.flatnonzero(pb.used)
         used_list[i, : ul.size] = ul
         n_used[i] = pb.n_used
@@ -209,8 +209,8 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
         orig[i] = pb.orig_ptr
 
     fn = build_sharded_decoder(mesh, level, wt, G, axis=axis)
-    raw, out_len, crc, ok = fn(words, goff, gsel, gvalid, limit6, base6,
-                               perm6, used_list, n_used, n_mtf, orig)
+    raw, out_len, crc, ok = fn(words, goff, gsel, gvalid, lens6, alpha,
+                               used_list, n_used, n_mtf, orig)
     raw = np.asarray(raw)
     out_len = np.asarray(out_len)
     crc = np.asarray(crc)

@@ -25,6 +25,7 @@ block.
 from __future__ import annotations
 
 import bz2 as _stdlib_bz2
+import math as _math
 
 import numpy as np
 
@@ -39,31 +40,36 @@ _CACHE_MAX = 64
 def exact_period(d: np.ndarray) -> int:
     """Minimal period p of d that divides n (p == n when not periodic).
 
-    Probes d[p] == d[0], then 64 bytes, before the full compare, so real
-    (non-periodic) blocks reject in O(sqrt n) divisor enumeration plus a
-    single gather.
-    """
+    Only the maximal proper divisors n/q (q prime) are tested: a proper
+    period p | n divides some n/q, and shift-invariance under p implies
+    invariance under its multiple n/q; the invariant shifts form a
+    subgroup of Z_n, so the gcd g of the invariant maximal divisors is a
+    period, and the minimal one is found by recursing on the length-g
+    root (the minimal period divides g).  Bounds encode-time work on
+    adversarial inputs to ~log^2 n full compares (ADVICE r3) with cheap
+    1-byte/64-byte probes rejecting real data first."""
     n = int(d.size)
     if n < 2:
         return n
-    divs = []
-    a = 1
-    while a * a <= n:
-        if n % a == 0:
-            divs.append(a)
-            b = n // a
-            if b != a and b != n:
-                divs.append(b)
-        a += 1
-    divs.sort()
-    cand = np.asarray(divs, np.int64)
-    cand = cand[d[cand] == d[0]]
-    for p in cand.tolist():
+    m, q, primes = n, 2, []
+    while q * q <= m:
+        if m % q == 0:
+            primes.append(q)
+            while m % q == 0:
+                m //= q
+        q += 1
+    if m > 1:
+        primes.append(m)
+    g = n
+    for q in primes:
+        p = n // q
+        if d[p] != d[0]:
+            continue
         if n - p >= 64 and not np.array_equal(d[p:p + 64], d[:64]):
             continue
         if np.array_equal(d[p:], d[:n - p]):
-            return int(p)
-    return n
+            g = _math.gcd(g, p)
+    return g if g == n else exact_period(d[:g])
 
 
 def _orig_ptr_of_stream(comp: bytes) -> int:
