@@ -57,6 +57,8 @@ def _load():
     lib.bz2tpu_encode_block.argtypes = [
         ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_uint32, ct.c_void_p,
         ct.c_int64]
+    lib.bz2tpu_fallback_origptr.restype = ct.c_int64
+    lib.bz2tpu_fallback_origptr.argtypes = [ct.c_void_p, ct.c_int32]
     from ..rand_table import RNUMS
     r = np.ascontiguousarray(RNUMS, dtype=np.int32)
     lib.bz2tpu_set_rnums(r.ctypes.data_as(ct.c_void_p))
@@ -132,6 +134,23 @@ def encode_block(block, in_use, crc: int):
         raise RuntimeError(f"native encode failed (rc={bits})")
     nbits = int(bits)
     return bytes(out[: (nbits + 7) // 8]), nbits
+
+
+def fallback_origptr(block) -> int | None:
+    """Sorted-order index of rotation 0 under stock bzip2's fallback-sort
+    dynamics (the origPtr stock emits on exactly-periodic blocks), or None
+    if the native runtime is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(
+        np.frombuffer(block, np.uint8) if not isinstance(block, np.ndarray)
+        else block)
+    op = int(lib.bz2tpu_fallback_origptr(
+        buf.ctypes.data_as(ct.c_void_p), np.int32(buf.size)))
+    if op < 0:
+        raise RuntimeError("fallback_origptr: invalid input")
+    return op
 
 
 def make_code_lengths_batch(freqs: np.ndarray, alphas: np.ndarray,

@@ -2506,4 +2506,171 @@ i64 bz2tpu_encode_block(const u8* block, i32 n, const u8* in_use, u32 crc,
   return bits;
 }
 
+// ------------------------------------ stock-dynamics periodic origPtr --
+// On an exactly-periodic block every rotation in a tie class is the same
+// string, so which in-class slot the 24-bit origPtr field names is pure
+// sorter dynamics.  This repo's bit-exactness oracle is stock bzip2
+// (stdlib bz2 == libbz2 1.0.8); stock reaches its O(N log^2 N) fallback
+// sorter on every exactly-periodic block (blocks < 10k bytes use it
+// directly; larger ones always exhaust mainSort's nblock*((wf-1)/3)
+// budget, since each of the >= n-p identical-rotation compares costs
+// ~n/8).  The fallback is a Manber-Myers bucket-refinement sort whose
+// per-bucket 3-way quicksort picks pivots from a fixed LCG
+// (r = (7621 r + 1) mod 32768, per Sedgewick ch. 35) — deterministic,
+// so replaying the same dynamics reproduces the slot exactly.  Behavior
+// studied from the upstream lineage diff shipped with the reference
+// (blocksort.c.diff.gz: fallbackSort / fallbackQSort3 /
+// fallbackSimpleSort); implementation fresh.  Every decision below is
+// pinned by tests/test_periodic.py's stock cross-check sweep.
+
+namespace fbsort {
+
+// insertion sort of ord[lo..hi] by cls[ord[.]]: one gap-4 pre-pass then a
+// gap-1 pass, both scanning the insert index downward (the exact scan
+// order matters — equal keys keep their relative order per pass, but the
+// two-pass composition is what stock does).
+static void insertion(i32* ord, const i32* cls, i32 lo, i32 hi) {
+  if (lo == hi) return;
+  if (hi - lo > 3) {
+    for (i32 i = hi - 4; i >= lo; i--) {
+      i32 t = ord[i], v = cls[t], j;
+      for (j = i + 4; j <= hi && v > cls[ord[j]]; j += 4) ord[j - 4] = ord[j];
+      ord[j - 4] = t;
+    }
+  }
+  for (i32 i = hi - 1; i >= lo; i--) {
+    i32 t = ord[i], v = cls[t], j;
+    for (j = i + 1; j <= hi && v > cls[ord[j]]; j++) ord[j - 1] = ord[j];
+    ord[j - 1] = t;
+  }
+}
+
+// 3-way quicksort with LCG pivot selection.  The equal-to-pivot blocks
+// are parked at both ends during partition and swapped into the middle
+// after; the larger side is pushed first (LIFO -> smaller side recurses
+// first).  All of this shuffles equal elements deterministically, which
+// is exactly the dynamics the origPtr slot depends on.
+static void qsort3(i32* ord, const i32* cls, i32 lo0, i32 hi0) {
+  u32 rng = 0;
+  std::vector<std::pair<i32, i32>> st;
+  st.reserve(128);
+  st.emplace_back(lo0, hi0);
+  while (!st.empty()) {
+    i32 lo = st.back().first, hi = st.back().second;
+    st.pop_back();
+    if (hi - lo < 10) {
+      insertion(ord, cls, lo, hi);
+      continue;
+    }
+    rng = (rng * 7621 + 1) % 32768;
+    u32 sel = rng % 3;
+    i32 med = cls[ord[sel == 0 ? lo : sel == 1 ? (lo + hi) >> 1 : hi]];
+    i32 uLo = lo, eqLo = lo, uHi = hi, eqHi = hi;
+    for (;;) {
+      while (uLo <= uHi) {
+        i32 d = cls[ord[uLo]] - med;
+        if (d == 0) { std::swap(ord[uLo], ord[eqLo]); eqLo++; uLo++; continue; }
+        if (d > 0) break;
+        uLo++;
+      }
+      while (uLo <= uHi) {
+        i32 d = cls[ord[uHi]] - med;
+        if (d == 0) { std::swap(ord[uHi], ord[eqHi]); eqHi--; uHi--; continue; }
+        if (d < 0) break;
+        uHi--;
+      }
+      if (uLo > uHi) break;
+      std::swap(ord[uLo], ord[uHi]);
+      uLo++;
+      uHi--;
+    }
+    if (eqHi < eqLo) continue;  // everything equal to the pivot
+    i32 a = std::min(eqLo - lo, uLo - eqLo);
+    for (i32 t = 0; t < a; t++) std::swap(ord[lo + t], ord[uLo - a + t]);
+    i32 b = std::min(hi - eqHi, eqHi - uHi);
+    for (i32 t = 0; t < b; t++) std::swap(ord[uLo + t], ord[hi - b + 1 + t]);
+    i32 nl = lo + (uLo - eqLo) - 1;
+    i32 mh = hi - (eqHi - uHi) + 1;
+    if (nl - lo > hi - mh) {
+      st.emplace_back(lo, nl);
+      st.emplace_back(mh, hi);
+    } else {
+      st.emplace_back(mh, hi);
+      st.emplace_back(lo, nl);
+    }
+  }
+}
+
+}  // namespace fbsort
+
+// Rotation-sort the block with stock's fallback dynamics and return the
+// sorted index of rotation 0 (== the origPtr stock emits when it takes
+// this path), or -1 on invalid input.
+i64 bz2tpu_fallback_origptr(const u8* blk, i32 n) {
+  if (n < 1) return -1;
+  if (n == 1) return 0;
+  std::vector<i32> ord(n), cls(n);
+  std::vector<u32> bh((n + 64) / 32 + 2, 0);
+  auto bit = [&](i64 z) -> bool { return (bh[z >> 5] >> (z & 31)) & 1; };
+  auto setb = [&](i64 z) { bh[z >> 5] |= 1u << (z & 31); };
+
+  // initial 1-byte counting sort; each bucket fills end -> start as the
+  // position scan ascends (bucket content in descending position order)
+  i32 ft[257];
+  memset(ft, 0, sizeof ft);
+  for (i32 i = 0; i < n; i++) ft[blk[i] + 1]++;
+  for (i32 i = 1; i < 257; i++) ft[i] += ft[i - 1];
+  i32 ends[256];
+  for (i32 c = 0; c < 256; c++) ends[c] = ft[c + 1];
+  for (i32 i = 0; i < n; i++) ord[--ends[blk[i]]] = i;
+  for (i32 c = 0; c < 256; c++) setb(ends[c]);  // == bucket starts now
+  // sentinels past the block: alternating set bits stop the scans
+  for (i32 i = 0; i < 32; i++) setb(n + 2 * i);
+
+  for (i32 H = 1;;) {
+    // class of position k = start index of the rank bucket holding k+H
+    i32 j = 0;
+    for (i32 i = 0; i < n; i++) {
+      if (bit(i)) j = i;
+      i32 k = ord[i] - H;
+      if (k < 0) k += n;
+      cls[k] = j;
+    }
+    i64 not_done = 0;
+    i32 r = -1;
+    for (;;) {
+      // bracket the next non-singleton bucket [l, r]
+      i64 k = r + 1;
+      while (bit(k) && (k & 31)) k++;
+      if (bit(k)) {
+        while (bh[k >> 5] == 0xffffffffu) k += 32;
+        while (bit(k)) k++;
+      }
+      i64 l = k - 1;
+      if (l >= n) break;
+      while (!bit(k) && (k & 31)) k++;
+      if (!bit(k)) {
+        while (bh[k >> 5] == 0) k += 32;
+        while (!bit(k)) k++;
+      }
+      if (k - 1 >= n) break;
+      r = (i32)(k - 1);
+      if (r > l) {
+        not_done += r - l + 1;
+        fbsort::qsort3(ord.data(), cls.data(), (i32)l, r);
+        i32 cc = -1;  // split the bucket at refined-class boundaries
+        for (i32 i = (i32)l; i <= r; i++) {
+          i32 c1 = cls[ord[i]];
+          if (c1 != cc) { setb(i); cc = c1; }
+        }
+      }
+    }
+    H *= 2;
+    if (H > n || not_done == 0) break;
+  }
+  for (i32 i = 0; i < n; i++)
+    if (ord[i] == 0) return i;
+  return -1;
+}
+
 }  // extern "C"

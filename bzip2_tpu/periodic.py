@@ -1,40 +1,45 @@
-"""Exactly-periodic blocks: stock-exact origPtr via a black-box probe.
+"""Exactly-periodic blocks: stock-exact origPtr via replayed sorter dynamics.
 
 For an exactly-periodic block (minimal period p dividing n, p < n) every
 rotation in a tie class is the same string, so the BWT last column, the
 compressed size, and the decode are invariant to which in-class slot the
-24-bit origPtr field names (reference: blocksort.c's construct_SA sets it
-mid-induced-fill; stock bzip2 1.0.8 sets it in fallbackSort).  The two
-reference-lineage implementations *disagree with each other* on these
-inputs (measured 2026-08-19: divsufsort fork origPtr=1 vs stock 299 on
-b"ab"*300 — see tools/origptr_sweep.py --fork), so there is no single
-"reference bit pattern"; this repo's bit-exactness oracle is stock bzip2
-(stdlib bz2 == libbz2 1.0.8), which all tests and the bench pin.
+24-bit origPtr field names.  The two reference-lineage implementations
+*disagree with each other* on these inputs (measured 2026-08-19: divsufsort
+fork origPtr=1 vs stock 299 on b"ab"*300 — see tools/origptr_sweep.py
+--fork), so there is no single "reference bit pattern"; this repo's
+bit-exactness oracle is stock bzip2 (stdlib bz2 == libbz2 1.0.8), which all
+tests and the bench pin.
 
 Our sorters use the last-in-class slot (class base + m - 1), which matches
-stock on every regular periodic family; a small adversarial residue follows
-stock's fallbackQSort3 pivot dynamics and has no closed form (exhaustive
-sweep in tools/origptr_sweep.py).  Rather than model those dynamics, this
-module consults stock itself: re-compress the block's raw bytes with the
-stdlib and read the 24-bit field back.  The probe runs only on blocks that
-are exactly periodic post-RLE1 — a measure-zero family on real data (the
-detection fast-path costs ~100 us/block) — and results are cached by block
-content, so pathological all-periodic streams pay one probe per distinct
-block.
+stock on every regular periodic family; the adversarial residue follows
+stock's fallback-sorter dynamics and has no closed form (exhaustive sweep
+in tools/origptr_sweep.py: slots like [1,2,1,1,2,0,3,1] across m).  Stock
+reaches that fallback sorter on EVERY exactly-periodic block — blocks under
+10k bytes use it directly, and larger ones always exhaust mainSort's
+nblock*((workFactor-1)/3) budget because each of the >= n-p identical-
+rotation compares costs ~n/8 of it — and the fallback's only nondeterminism
+source is a fixed LCG (r = (7621 r + 1) mod 32768), so the slot is exactly
+reproducible by replaying the dynamics.  ``native.fallback_origptr`` (C++,
+bz2tpu_host.cpp) does that; ``_fallback_origptr_py`` below is the
+compiler-free mirror.  No stdlib-bz2 probe runs on the encode path; the
+stock cross-check lives in tests/test_periodic.py.
+
+The replay runs only on blocks that are exactly periodic post-RLE1 — a
+measure-zero family on real data (the detection fast-path costs ~100 us
+per block) — and results are cached by content digest.
 """
 from __future__ import annotations
 
-import bz2 as _stdlib_bz2
+import hashlib as _hashlib
 import math as _math
 
 import numpy as np
 
-from . import rle1 as _rle1
-
-# (block-bytes, level) -> origPtr.  Periodic streams repeat identical
-# blocks, so a tiny cache absorbs the pathological case.
-_CACHE: dict[tuple[bytes, int], int] = {}
-_CACHE_MAX = 64
+# blake2b(block bytes) -> origPtr.  Periodic streams repeat identical
+# blocks, so a tiny LRU absorbs the pathological case (ADVICE r3: digest
+# keys instead of retaining block bytes; evict oldest-first).
+_CACHE: dict[bytes, int] = {}
+_CACHE_MAX = 256
 
 
 def exact_period(d: np.ndarray) -> int:
@@ -72,30 +77,157 @@ def exact_period(d: np.ndarray) -> int:
     return g if g == n else exact_period(d[:g])
 
 
-def _orig_ptr_of_stream(comp: bytes) -> int:
-    # field at stream bits 113..136: 32 hdr + 48 magic + 32 CRC + 1 rand
-    u32 = int.from_bytes(comp[14:18], "big")
-    return (u32 >> 7) & 0xFFFFFF
+def _fb_insertion(ord_, cls, lo, hi):
+    """Gap-4 pre-pass + gap-1 insertion sort of ord_[lo..hi] by cls rank
+    (stock fallbackSimpleSort dynamics; scan order matters for ties)."""
+    if lo == hi:
+        return
+    if hi - lo > 3:
+        for i in range(hi - 4, lo - 1, -1):
+            t = ord_[i]
+            v = cls[t]
+            j = i + 4
+            while j <= hi and v > cls[ord_[j]]:
+                ord_[j - 4] = ord_[j]
+                j += 4
+            ord_[j - 4] = t
+    for i in range(hi - 1, lo - 1, -1):
+        t = ord_[i]
+        v = cls[t]
+        j = i + 1
+        while j <= hi and v > cls[ord_[j]]:
+            ord_[j - 1] = ord_[j]
+            j += 1
+        ord_[j - 1] = t
 
 
-def stock_origptr(block_data: np.ndarray, level: int) -> int | None:
-    """Stock bzip2's origPtr for a block with exactly this post-RLE1
-    content, or None when the probe cannot be applied safely."""
-    key = (block_data.tobytes(), level)
+def _fb_qsort3(ord_, cls, lo0, hi0):
+    """3-way quicksort with stock's LCG pivot schedule; the end-parked
+    equal blocks and larger-side-first pushes shuffle tied elements in the
+    exact deterministic pattern the origPtr slot depends on."""
+    rng = 0
+    st = [(lo0, hi0)]
+    while st:
+        lo, hi = st.pop()
+        if hi - lo < 10:
+            _fb_insertion(ord_, cls, lo, hi)
+            continue
+        rng = (rng * 7621 + 1) % 32768
+        sel = rng % 3
+        med = cls[ord_[lo if sel == 0 else (lo + hi) >> 1 if sel == 1 else hi]]
+        u_lo = eq_lo = lo
+        u_hi = eq_hi = hi
+        while True:
+            while u_lo <= u_hi:
+                d = cls[ord_[u_lo]] - med
+                if d == 0:
+                    ord_[u_lo], ord_[eq_lo] = ord_[eq_lo], ord_[u_lo]
+                    eq_lo += 1
+                    u_lo += 1
+                    continue
+                if d > 0:
+                    break
+                u_lo += 1
+            while u_lo <= u_hi:
+                d = cls[ord_[u_hi]] - med
+                if d == 0:
+                    ord_[u_hi], ord_[eq_hi] = ord_[eq_hi], ord_[u_hi]
+                    eq_hi -= 1
+                    u_hi -= 1
+                    continue
+                if d < 0:
+                    break
+                u_hi -= 1
+            if u_lo > u_hi:
+                break
+            ord_[u_lo], ord_[u_hi] = ord_[u_hi], ord_[u_lo]
+            u_lo += 1
+            u_hi -= 1
+        if eq_hi < eq_lo:
+            continue
+        a = min(eq_lo - lo, u_lo - eq_lo)
+        for t in range(a):
+            ord_[lo + t], ord_[u_lo - a + t] = ord_[u_lo - a + t], ord_[lo + t]
+        b = min(hi - eq_hi, eq_hi - u_hi)
+        for t in range(b):
+            ord_[u_lo + t], ord_[hi - b + 1 + t] = (ord_[hi - b + 1 + t],
+                                                    ord_[u_lo + t])
+        nl = lo + (u_lo - eq_lo) - 1
+        mh = hi - (eq_hi - u_hi) + 1
+        if nl - lo > hi - mh:
+            st.append((lo, nl))
+            st.append((mh, hi))
+        else:
+            st.append((mh, hi))
+            st.append((lo, nl))
+
+
+def _fallback_origptr_py(d: np.ndarray) -> int:
+    """Pure-Python mirror of native.fallback_origptr (stock fallbackSort
+    dynamics): Manber-Myers bucket refinement with _fb_qsort3 on each
+    non-singleton bucket, left to right.  Used only without a compiler."""
+    n = int(d.size)
+    if n == 1:
+        return 0
+    db = d.astype(np.int64)
+    # initial 1-byte counting sort, each bucket in descending position
+    # order (slots fill end -> start as the position scan ascends)
+    counts = np.bincount(db, minlength=256)
+    ends = np.cumsum(counts)
+    # descending positions per ascending byte: stable-sort by (byte, -pos)
+    order = np.lexsort((-np.arange(n), db))
+    starts_mask = np.zeros(n + 1, bool)
+    starts_mask[ends - counts] = True     # bucket starts
+    starts_mask[n] = True
+    ord_ = order.tolist()
+    H = 1
+    while True:
+        # class of position k = start index of the rank bucket holding k+H
+        starts = np.flatnonzero(starts_mask[:n + 1])
+        order_np = np.asarray(ord_, np.int64)
+        bucket_start = np.repeat(
+            starts[:-1], np.diff(starts)).astype(np.int64)
+        cls_np = np.empty(n, np.int64)
+        cls_np[(order_np - H) % n] = bucket_start
+        cls = cls_np.tolist()
+        not_done = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2 or s >= n:
+                continue
+            l, r = int(s), int(e) - 1
+            not_done += r - l + 1
+            _fb_qsort3(ord_, cls, l, r)
+            cc = -1
+            for i in range(l, r + 1):
+                c1 = cls[ord_[i]]
+                if c1 != cc:
+                    starts_mask[i] = True
+                    cc = c1
+        H *= 2
+        if H > n or not_done == 0:
+            break
+    return ord_.index(0)
+
+
+def stock_dynamics_origptr(block_data: np.ndarray) -> int:
+    """origPtr stock bzip2 emits for a block with exactly this post-RLE1
+    content, computed by replaying its fallback-sorter dynamics (native
+    C++ when built, Python mirror otherwise).  Content-digest cached."""
+    d = np.ascontiguousarray(block_data, np.uint8)
+    key = _hashlib.blake2b(d.tobytes(), digest_size=16).digest()
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
-    raw = _rle1.decode(block_data)
-    # Safety: the raw bytes must RLE1-split back to exactly this one block
-    # (guards the one-shot/chunked final-segment corner in rle1.py).
-    re = _rle1.encode_blocks(raw, level)
-    if len(re) != 1 or not np.array_equal(re[0].data, block_data):
-        return None
-    op = _orig_ptr_of_stream(_stdlib_bz2.compress(raw.tobytes(), level))
-    if not 0 <= op < block_data.size:
-        return None
-    if len(_CACHE) >= _CACHE_MAX:
-        _CACHE.clear()
+    op = None
+    try:
+        from . import native
+        op = native.fallback_origptr(d)
+    except Exception:
+        op = None
+    if op is None:
+        op = _fallback_origptr_py(d)
+    while len(_CACHE) >= _CACHE_MAX:        # oldest-first eviction
+        _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = op
     return op
 
@@ -112,8 +244,8 @@ def patch_payload(payload: np.ndarray, nbits: int, block_data: np.ndarray,
     d = np.asarray(block_data, np.uint8)
     if exact_period(d) >= d.size:
         return payload, nbits
-    op = stock_origptr(d, level)
-    if op is None:
+    op = stock_dynamics_origptr(d)
+    if not 0 <= op < d.size:
         return payload, nbits
     out = np.array(payload, np.uint8, copy=True)
     # payload bits 81..104 live in bytes 10..13 (bits 80..111); rewrite

@@ -94,3 +94,68 @@ def test_periodic_device_engine_matches_stock():
     eng = Engine(batch_size=2, host_workers=0)
     for data in [b"ab" * 300, b"aa", b"qrs" * 5000, PAT251 * 30]:
         assert eng.compress(data, 1) == stdlib_bz2.compress(data, 1)
+
+
+def _stock_origptr_probe(data: bytes, level: int = 9) -> int:
+    """Test-only oracle: stock's origPtr read back from a real compress.
+    (VERDICT r3 item 6 moved the probe out of the encode path; the encode
+    path replays stock's fallback-sorter dynamics instead.)"""
+    import numpy as np
+    comp = stdlib_bz2.compress(data, level)
+    bits = np.unpackbits(np.frombuffer(comp, np.uint8))
+    return int("".join(map(str, bits[113:137])), 2)
+
+
+def test_fallback_dynamics_match_stock_probe():
+    """The replayed fallback-sorter dynamics (native C++ and the Python
+    mirror) reproduce stock's origPtr on chaotic-residue families of all
+    sizes, including n >= 10000 where stock reaches the fallback via the
+    mainSort budget blow."""
+    import numpy as np
+
+    from bzip2_tpu.periodic import _fallback_origptr_py
+
+    try:
+        from bzip2_tpu import native
+        have_native = native.available()
+    except Exception:
+        have_native = False
+    cases = [(b"aaba", m) for m in range(2, 9)]
+    cases += [(b"babba", m) for m in range(2, 8)]
+    cases += [(b"ab", 5000), (b"aab", 4000), (b"aaba", 3000),
+              (bytes((i * 7 + 3) % 251 for i in range(251)), 48)]
+    for root, m in cases:
+        data = root * m
+        d = np.frombuffer(data, np.uint8)
+        exp = _stock_origptr_probe(data)
+        if len(data) < 4096:    # python mirror: small cases only (speed)
+            assert _fallback_origptr_py(d) == exp, (root, m)
+        if have_native:
+            assert native.fallback_origptr(d) == exp, (root, m)
+
+
+def test_patch_payload_noop_on_nonperiodic():
+    import numpy as np
+
+    from bzip2_tpu import periodic
+
+    payload = np.arange(40, dtype=np.uint8)
+    out, nb = periodic.patch_payload(payload, 320,
+                                     np.frombuffer(b"abcdefg!", np.uint8), 9)
+    assert nb == 320 and np.array_equal(out, payload)
+
+
+def test_periodic_no_stdlib_probe_on_encode_path():
+    """periodic.py must not consult stdlib bz2 at encode time (VERDICT r3
+    item 6): the module has no bz2 import at all."""
+    import ast
+    import inspect
+
+    from bzip2_tpu import periodic
+
+    tree = ast.parse(inspect.getsource(periodic))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            assert not any(a.name == "bz2" for a in node.names)
+        if isinstance(node, ast.ImportFrom):
+            assert node.module != "bz2"
