@@ -123,7 +123,7 @@ def encode_block(block, in_use, crc: int):
         return None
     buf = np.ascontiguousarray(
         np.frombuffer(block, np.uint8) if not isinstance(block, np.ndarray)
-        else block)
+        else block, dtype=np.uint8)
     use = np.ascontiguousarray(np.asarray(in_use), dtype=np.uint8)
     out = np.empty(3 * buf.size + (1 << 16), np.uint8)
     bits = lib.bz2tpu_encode_block(
@@ -145,7 +145,7 @@ def fallback_origptr(block) -> int | None:
         return None
     buf = np.ascontiguousarray(
         np.frombuffer(block, np.uint8) if not isinstance(block, np.ndarray)
-        else block)
+        else block, dtype=np.uint8)
     op = int(lib.bz2tpu_fallback_origptr(
         buf.ctypes.data_as(ct.c_void_p), np.int32(buf.size)))
     if op < 0:

@@ -1,4 +1,4 @@
-"""Exactly-periodic blocks: stock-exact origPtr via replayed sorter dynamics.
+"""Exactly-periodic blocks: stock-exact origPtr tie correction.
 
 For an exactly-periodic block (minimal period p dividing n, p < n) every
 rotation in a tie class is the same string, so the BWT last column, the
@@ -12,21 +12,30 @@ tests and the bench pin.
 
 Our sorters use the last-in-class slot (class base + m - 1), which matches
 stock on every regular periodic family; the adversarial residue follows
-stock's fallback-sorter dynamics and has no closed form (exhaustive sweep
-in tools/origptr_sweep.py: slots like [1,2,1,1,2,0,3,1] across m).  Stock
-reaches that fallback sorter on EVERY exactly-periodic block — blocks under
-10k bytes use it directly, and larger ones always exhaust mainSort's
-nblock*((workFactor-1)/3) budget because each of the >= n-p identical-
-rotation compares costs ~n/8 of it — and the fallback's only nondeterminism
-source is a fixed LCG (r = (7621 r + 1) mod 32768), so the slot is exactly
-reproducible by replaying the dynamics.  ``native.fallback_origptr`` (C++,
-bz2tpu_host.cpp) does that; ``_fallback_origptr_py`` below is the
-compiler-free mirror.  No stdlib-bz2 probe runs on the encode path; the
-stock cross-check lives in tests/test_periodic.py.
+stock's sorter tie dynamics and has no closed form (exhaustive sweep in
+tools/origptr_sweep.py: slots like [1,2,1,1,2,0,3,1] across m).  Which
+stock sorter emits the slot depends on block size:
 
-The replay runs only on blocks that are exactly periodic post-RLE1 — a
+- n < 10000: stock calls its fallback sorter DIRECTLY (stock
+  BZ2_blockSort: ``if (nblock < 10000) fallbackSort``), whose only
+  nondeterminism source is a fixed LCG (r = (7621 r + 1) mod 32768) — the
+  slot is exactly reproducible by replaying the dynamics.
+  ``native.fallback_origptr`` (C++, bz2tpu_host.cpp) does that;
+  ``_fallback_origptr_py`` below is the compiler-free mirror.
+- n >= 10000: stock runs mainSort first and reaches the fallback only if
+  the nblock*((workFactor-1)/3) budget blows.  That blow is NOT guaranteed:
+  a large-period/few-repeat block (e.g. a random 1000-byte root x11)
+  completes mainSort inside budget, and the emitted slot is mainSort's tie
+  choice, not the fallback's (ADVICE r4, verified with bzip2 -vvvv).
+  Modeling mainSort's budget + tie dynamics would mean transcribing it, so
+  for these blocks the corrector consults stock itself: re-compress the
+  raw bytes with the stdlib (same libbz2 1.0.8 code) and read the 24-bit
+  field back.  This is the one place the framework calls stdlib bz2 at
+  encode time; it is exact by construction and content-digest cached.
+
+Both paths run only on blocks that are exactly periodic post-RLE1 — a
 measure-zero family on real data (the detection fast-path costs ~100 us
-per block) — and results are cached by content digest.
+per block).
 """
 from __future__ import annotations
 
@@ -40,6 +49,15 @@ import numpy as np
 # keys instead of retaining block bytes; evict oldest-first).
 _CACHE: dict[bytes, int] = {}
 _CACHE_MAX = 256
+
+# Stock BZ2_blockSort's direct-fallback threshold: below this the replayed
+# fallback dynamics are provably the sorter stock ran.
+_FALLBACK_DIRECT_MAX = 10000
+
+# Observability: how many periodic patches were applied / skipped (a skip
+# ships our own in-class slot — still a valid decodable stream, just not
+# bit-identical to stock on that block).  tests + tracing read these.
+COUNTERS = {"patched": 0, "skipped_probe": 0, "skipped_range": 0}
 
 
 def exact_period(d: np.ndarray) -> int:
@@ -211,9 +229,15 @@ def _fallback_origptr_py(d: np.ndarray) -> int:
 
 def stock_dynamics_origptr(block_data: np.ndarray) -> int:
     """origPtr stock bzip2 emits for a block with exactly this post-RLE1
-    content, computed by replaying its fallback-sorter dynamics (native
-    C++ when built, Python mirror otherwise).  Content-digest cached."""
-    d = np.ascontiguousarray(block_data, np.uint8)
+    content when its fallback sorter runs (n < 10000 runs it directly),
+    computed by replaying the fallback dynamics (native C++ when built,
+    Python mirror otherwise).  Content-digest cached.
+
+    The pure-Python mirror is O(n log^2 n) with Python-level constant
+    factors; callers must not hand it large blocks (patch_payload routes
+    n >= 10000 to the stdlib probe instead), and a hard guard here refuses
+    rather than silently burning minutes (ADVICE r4)."""
+    d = np.ascontiguousarray(block_data, dtype=np.uint8)
     key = _hashlib.blake2b(d.tobytes(), digest_size=16).digest()
     hit = _CACHE.get(key)
     if hit is not None:
@@ -225,8 +249,44 @@ def stock_dynamics_origptr(block_data: np.ndarray) -> int:
     except Exception:
         op = None
     if op is None:
+        if d.size > 65536:
+            raise RuntimeError(
+                "stock_dynamics_origptr: pure-Python fallback replay "
+                f"refused for n={d.size} > 65536 (native runtime not "
+                "built); build bzip2_tpu/native or use the stdlib probe")
         op = _fallback_origptr_py(d)
     while len(_CACHE) >= _CACHE_MAX:        # oldest-first eviction
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = op
+    return op
+
+
+def stock_origptr_probe(block_data: np.ndarray, level: int) -> int | None:
+    """Stock bzip2's origPtr for a block with exactly this post-RLE1
+    content, read back from an actual stdlib-bz2 compress of the raw
+    bytes, or None when the probe cannot be applied safely.  Used for
+    n >= 10000 periodic blocks where mainSort may complete inside budget
+    and emit its own tie slot (no closed form; ADVICE r4)."""
+    import bz2 as _stdlib_bz2
+
+    from . import rle1 as _rle1
+
+    d = np.ascontiguousarray(block_data, dtype=np.uint8)
+    key = _hashlib.blake2b(d.tobytes() + bytes([level]),
+                           digest_size=16).digest()
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    raw = _rle1.decode(d)
+    # Safety: the raw bytes must RLE1-split back to exactly this one block
+    # (guards the one-shot/chunked final-segment corner in rle1.py).
+    re = _rle1.encode_blocks(raw, level)
+    if len(re) != 1 or not np.array_equal(re[0].data, d):
+        return None
+    comp = _stdlib_bz2.compress(raw.tobytes(), level)
+    # field at stream bits 113..136: 32 hdr + 48 magic + 32 CRC + 1 rand
+    op = (int.from_bytes(comp[14:18], "big") >> 7) & 0xFFFFFF
+    while len(_CACHE) >= _CACHE_MAX:
         _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = op
     return op
@@ -244,9 +304,29 @@ def patch_payload(payload: np.ndarray, nbits: int, block_data: np.ndarray,
     d = np.asarray(block_data, np.uint8)
     if exact_period(d) >= d.size:
         return payload, nbits
-    op = stock_dynamics_origptr(d)
+    if d.size < _FALLBACK_DIRECT_MAX:
+        op = stock_dynamics_origptr(d)
+    else:
+        op = stock_origptr_probe(d, level)
+        if op is None:
+            COUNTERS["skipped_probe"] += 1
+            import warnings
+            warnings.warn(
+                "periodic origPtr probe inapplicable for a "
+                f"{d.size}-byte block; shipping our own tie slot "
+                "(stream decodes correctly, may differ from stock in "
+                "the 24-bit origPtr field)", RuntimeWarning,
+                stacklevel=2)
+            return payload, nbits
     if not 0 <= op < d.size:
+        COUNTERS["skipped_range"] += 1
+        import warnings
+        warnings.warn(
+            f"periodic origPtr corrector produced out-of-range slot {op} "
+            f"for a {d.size}-byte block; shipping our own tie slot",
+            RuntimeWarning, stacklevel=2)
         return payload, nbits
+    COUNTERS["patched"] += 1
     out = np.array(payload, np.uint8, copy=True)
     # payload bits 81..104 live in bytes 10..13 (bits 80..111); rewrite
     # local bit positions 1..24 with op MSB-first
