@@ -197,12 +197,46 @@ def main(use_device: bool = True):
     ht.join()
     t_prep = time.time() - t0
     t0 = time.time()
-    # warm pass on one primary-batch slice (+decode): binds the remaining
-    # dispatch caches and JITs the host glue without paying a full
-    # corpus pass; the timed runs below are median-of-3 anyway.
-    wslice = data[: min(len(data), 12 << 20)]
-    warm = eng.compress(wslice, level)
-    native.decompress(warm)
+    # warm pass on ONE primary-batch slice (+decode): binds the remaining
+    # dispatch caches and JITs the host glue.  The slice is a single
+    # device batch so the warm pass doubles as a DEVICE HEALTH PROBE:
+    # round 4's driver run spent 385 s here because the tunneled device
+    # had degraded to minutes per batch — when that happens the device
+    # contributes nothing to an 85 MB stream anyway, so a slow warm batch
+    # flips the engine to host-only for the timed runs (and the tail says
+    # so) instead of silently burning the bench budget.
+    from bzip2_tpu import engine as _engine
+    wslice = data[: min(len(data), eng.AUTO_BATCH_BYTES)]
+    dev_slow_cap = float(os.environ.get("BENCH_DEV_SLOW_S", "90"))
+    # The tunnel's d2h can HANG outright for many minutes (measured
+    # 2026-08-20: a 4 MB fetch wedged > 11 min while h2d took 60 ms), so
+    # the warm pass runs in an abandonable daemon thread: on timeout the
+    # engine flips host-only and the wedged thread is left behind — the
+    # host pipeline never touches jax, so the headline still lands.
+    warm_box: dict = {}
+
+    def _warm():
+        try:
+            warm_box["comp"] = eng.compress(wslice, level)
+        except Exception as e:  # noqa: BLE001
+            warm_box["err"] = e
+
+    wt = threading.Thread(target=_warm, daemon=True)
+    wt.start()
+    wt.join(dev_slow_cap if use_device else None)
+    dev_healthy = use_device and not wt.is_alive() and "comp" in warm_box
+    if wt.is_alive():
+        log(f"warm batch exceeded {dev_slow_cap:.0f}s (tunnel degraded or "
+            "wedged); abandoning device path, timed runs are host-only")
+        eng.use_device = False
+        eng.host_workers = max(1, eng.host_workers)
+        # block claims that might already be queued behind the wedge are
+        # not an issue: the warm engine call owns its own block list
+        wt.join(5.0)
+    elif "err" in warm_box:
+        raise warm_box["err"]
+    else:
+        native.decompress(warm_box["comp"])
     t_pass = time.time() - t0
     # reset host-rate telemetry (the warm slice skews it); keep dev_wall:
     # the warm-measured device wall (even if pessimistic) lets the
@@ -212,25 +246,47 @@ def main(use_device: bool = True):
         f"+ warm-pass {t_pass:.1f}s "
         f"= {t_corpus + t_prep + t_pass:.1f}s")
 
-    runs = []
-    for _ in range(3):   # best-of-3: the reference baseline was measured
-        t0 = time.time()  # best-of-2, and this VM's page backing decays
-        comp = eng.compress(data, level)  # mid-process (exogenous noise)
-        runs.append(time.time() - t0)
-    t_enc = min(runs)
-    log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
-        f"(ratio {len(data) / len(comp):.2f}:1; runs "
-        f"{' '.join(f'{r:.2f}' for r in sorted(runs))})")
-
-    runs = []
-    for _ in range(3):
+    # Timed runs, phase-hopped: this VM's throughput oscillates +-20% in
+    # multi-minute phases (host-level), so the encode/decode samples are
+    # spread over BENCH_ROUNDS rounds separated by pauses and the global
+    # best is taken — same sampling the host-only fallback has used since
+    # round 3 (VERDICT r4 weak #1 asked for it on this path too).
+    _engine.reset_telemetry()
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    enc_runs, dec_runs = [], []
+    comp = None
+    for rnd in range(n_rounds):
+        if rnd:
+            time.sleep(min(45.0, len(data) / 2e6))
+        t0 = time.time()
+        comp = eng.compress(data, level)
+        enc_runs.append(time.time() - t0)
         t0 = time.time()
         out, _, rc = native.decompress(comp)
-        runs.append(time.time() - t0)
+        dec_runs.append(time.time() - t0)
         assert rc == 0 and out == data, "round-trip mismatch!"
-    t_dec = min(runs)
+        log(f"round {rnd}: encode {len(data)/1e6/enc_runs[-1]:.2f} "
+            f"decode {len(data)/1e6/dec_runs[-1]:.2f} MB/s")
+    t_enc = min(enc_runs)
+    t_dec = min(dec_runs)
+    log(f"encode: {t_enc:.2f}s -> {len(data) / 1e6 / t_enc:.2f} MB/s "
+        f"(ratio {len(data) / len(comp):.2f}:1; runs "
+        f"{' '.join(f'{r:.2f}' for r in sorted(enc_runs))})")
     log(f"decode: {t_dec:.2f}s -> {len(data) / 1e6 / t_dec:.2f} MB/s "
-        f"(runs {' '.join(f'{r:.2f}' for r in sorted(runs))})")
+        f"(runs {' '.join(f'{r:.2f}' for r in sorted(dec_runs))})")
+
+    # Encode telemetry (VERDICT r4 weak #6 / r3 items 5+8): who actually
+    # encoded the stream, and where the device time went.
+    sh = dict(_engine.SHARE)
+    tot_blocks = sh["dev_blocks"] + sh["host_blocks"]
+    if tot_blocks:
+        log(f"encode share over {n_rounds} timed runs: device "
+            f"{sh['dev_blocks']}/{tot_blocks} blocks "
+            f"({100.0 * sh['dev_blocks'] / tot_blocks:.0f}%), host "
+            f"{sh['host_blocks']}, declines {sh['declines']}")
+    if _engine.STAGE_WALL:
+        log("encode device stage walls (s, cumulative): "
+            f"{ {k: round(v, 2) for k, v in _engine.STAGE_WALL.items()} }")
 
     # TPU decode path (device Huffman/MTF^-1/RLE2/IBWT/RLE1^-1/CRC;
     # decoder.py): measured on one batch-sized slice and reported as a
@@ -238,15 +294,18 @@ def main(use_device: bool = True):
     # default (fastest) backend — the host runtime wins on a single chip
     # because the inverse-BWT walk is gather-latency-bound; the device
     # path is the pod-scale block-DP decode story.
-    if use_device and os.environ.get("BENCH_DEVICE_DECODE", "1") != "0":
+    if (use_device and dev_healthy
+            and os.environ.get("BENCH_DEVICE_DECODE", "1") != "0"):
         try:
-            from bzip2_tpu.decoder import DeviceDecoder
-            ddec = DeviceDecoder()
+            from bzip2_tpu import decoder as _decoder
+            ddec = _decoder.DeviceDecoder()
             dslice = data[:24 << 20]
             dcomp = eng.compress(dslice, level)
             t0 = time.time()
             dout = ddec.decompress(dcomp)    # compile/load + run
             warm_dd = time.time() - t0
+            _decoder.STAGE_WALL.clear()
+            _decoder.ANOMALIES.update({"lane": 0, "batch": 0})
             t0 = time.time()
             dout = ddec.decompress(dcomp)
             t_dd = time.time() - t0
@@ -254,8 +313,14 @@ def main(use_device: bool = True):
             log(f"device decode (TPU pipeline): {len(dslice) / 1e6 / t_dd:.2f} "
                 f"MB/s on {len(dslice) / 1e6:.0f} MB (bit-exact={okdd}; "
                 f"warm {warm_dd:.1f}s)")
+            log("device decode stage walls (s): "
+                f"{ {k: round(v, 2) for k, v in _decoder.STAGE_WALL.items()} }"
+                f"; anomalies healed: lane={_decoder.ANOMALIES['lane']} "
+                f"batch={_decoder.ANOMALIES['batch']}")
         except Exception as e:  # noqa: BLE001 — secondary metric only
             log(f"device decode unavailable ({type(e).__name__}: {e})")
+    elif use_device and not dev_healthy:
+        log("device decode metric skipped (device path unhealthy)")
 
     # correctness cross-check vs stock bzip2
     import bz2

@@ -38,6 +38,29 @@ from .ops.mtf import mtf_rle2_batched
 
 A = C.MAX_ALPHA_SIZE
 
+#: cumulative encode-side stage walls (seconds) and block-share counters
+#: (VERDICT r4 weak #6: the bench must report what fraction of the stream
+#: the chip actually encoded).  Reset via reset_telemetry().
+STAGE_WALL: dict = {}
+SHARE: dict = {"dev_blocks": 0, "host_blocks": 0, "declines": 0}
+_TELEM_LOCK = __import__("threading").Lock()
+
+
+def _stage_add(key: str, wall: float) -> None:
+    with _TELEM_LOCK:
+        STAGE_WALL[key] = STAGE_WALL.get(key, 0.0) + wall
+
+
+def _share_add(key: str, k: int = 1) -> None:
+    with _TELEM_LOCK:
+        SHARE[key] = SHARE.get(key, 0) + k
+
+
+def reset_telemetry() -> None:
+    with _TELEM_LOCK:
+        STAGE_WALL.clear()
+        SHARE.update({"dev_blocks": 0, "host_blocks": 0, "declines": 0})
+
 
 def _enable_compile_cache() -> None:
     """Turn on jax's persistent compilation cache (executable
@@ -384,6 +407,7 @@ class Engine:
             return self._encode_batch_inner(level, arr, ns, uses, crcs)
 
     def _encode_batch_inner(self, level, arr, ns, uses, crcs):
+        import time as _time
         fns = self._fns(level, arr.shape[0])
         if self.mode == "fused":
             words, nbits = fns(jnp.asarray(arr), jnp.asarray(ns),
@@ -391,22 +415,32 @@ class Engine:
         else:
             from . import native
             f_pre, f_iter, f_post = fns
+            t0 = _time.time()
             (mtfv, n_mtf, n_in_use, orig_ptr, n_groups, lens, hist_bf,
              table_invalid) = f_pre(jnp.asarray(arr), jnp.asarray(ns),
                                     jnp.asarray(uses))
             B = arr.shape[0]
+            # np.asarray forces f_pre (async dispatch) before the wall read
             alpha6 = np.repeat(np.asarray(n_in_use) + 2, 6).astype(np.int32)
+            t1 = _time.time()
             selectors = None
             for _ in range(C.N_ITERS):
                 selectors, freq6 = f_iter(hist_bf, lens, table_invalid)
                 freq_np = np.asarray(freq6).reshape(B * 6, A)
                 lens_np = native.make_code_lengths_batch(freq_np, alpha6)
                 lens = jnp.asarray(lens_np.reshape(B, 6, A))
+            t2 = _time.time()
             words, nbits = f_post(mtfv, n_mtf, n_in_use, jnp.asarray(uses),
                                   jnp.asarray(crcs), orig_ptr, n_groups,
                                   selectors, lens)
+            _stage_add("pre(bwt+mtf+hist)", t1 - t0)
+            _stage_add("4xiter+heap", t2 - t1)
+        t3 = _time.time()
         nbits_np = np.asarray(nbits)
-        return self._slice_words(words, nbits_np), nbits_np
+        out = self._slice_words(words, nbits_np), nbits_np
+        if self.mode != "fused":
+            _stage_add("post+fetch", _time.time() - t3)
+        return out
 
     def encode_payloads(self, blocks: list[_rle1.RLE1Block], level: int):
         """Encode RLE1 blocks into per-block (bytes, nbits) payloads.
@@ -459,6 +493,7 @@ class Engine:
                         # device is idle and the stream is long enough
                         # that a slow probe cannot gate it.
                         sched["declines"] = sched.get("declines", 0) + 1
+                        _share_add("declines")
                         if not (state["dev_inflight"] == 0
                                 and remaining > 5 * bsz
                                 and sched["declines"] >= 8):
@@ -522,6 +557,7 @@ class Engine:
                     sched["dev_wall"] = (0.8 * sched["dev_wall"]
                                          + 0.2 * wall)
                 state["dev_inflight"] -= 1
+            _share_add("dev_blocks", take)
             for j in range(take):
                 nbit = int(nbits[j])
                 payload = words[j, : (nbit + 31) // 32]
@@ -558,6 +594,7 @@ class Engine:
                     with lock:
                         sched["host_done"] += 1
                         sched["host_time"] += dt
+                    _share_add("host_blocks")
                     results[k] = (np.frombuffer(payload, np.uint8), nbits)
                     record_block(k, nbits)
             except BaseException as e:  # noqa: BLE001
