@@ -21,6 +21,11 @@ except ImportError:  # older jax
 
 from ..engine import encode_batch_device
 
+#: count of sharded-decode lanes healed on the host (walker-cap / CRC
+#: anomalies) — observability mirror of decoder.ANOMALIES for the mesh
+#: path; tests assert the heal path actually fires when squeezed
+HEALS = {"lane": 0}
+
 
 def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -220,6 +225,7 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
         if not bool(ok[i]) or int(crc[i]) != pb.stored_crc:
             # lane anomaly (e.g. walker-cap on skewed cycles): heal this
             # block on the host, same policy as the single-chip decoder
+            HEALS["lane"] += 1
             sl = np.ascontiguousarray(buf[: (pb.end_bit + 7) // 8])
             out, next_bit, _l, _c, _s, rc2 = native.decode_some(
                 sl, pb.start_bit, level, 0)
