@@ -2639,20 +2639,15 @@ i64 bz2tpu_fallback_origptr(const u8* blk, i32 n) {
     i64 not_done = 0;
     i32 r = -1;
     for (;;) {
-      // bracket the next non-singleton bucket [l, r]
+      // bracket the next non-singleton bucket [l, r]: skip the run of
+      // boundary bits, then the clear run inside the bucket, one bit at a
+      // time (this replay only ever runs on n < 10000 blocks, so plain
+      // scans are plenty; the alternating sentinel bits past n bound both)
       i64 k = r + 1;
-      while (bit(k) && (k & 31)) k++;
-      if (bit(k)) {
-        while (bh[k >> 5] == 0xffffffffu) k += 32;
-        while (bit(k)) k++;
-      }
+      while (bit(k)) k++;
       i64 l = k - 1;
       if (l >= n) break;
-      while (!bit(k) && (k & 31)) k++;
-      if (!bit(k)) {
-        while (bh[k >> 5] == 0) k += 32;
-        while (!bit(k)) k++;
-      }
+      while (!bit(k)) k++;
       if (k - 1 >= n) break;
       r = (i32)(k - 1);
       if (r > l) {
