@@ -149,16 +149,44 @@ def _emit_fields(blocks, n, in_use, crc, orig_ptr, mtfv, n_mtf, n_in_use,
     tab_l = tab_l.at[:, :, 2::2].set(jnp.where(active, 1, 0))
     add(tab_v.reshape(B, 6 * (1 + 2 * A)), tab_l.reshape(B, 6 * (1 + 2 * A)))
 
-    # payload: per-symbol code from its group's table.  (code, len) are
-    # packed into one word so the (B, M)-sized table gather happens once
-    # (codes <= 17 bits, lens <= 5 bits).
-    g_of = jnp.arange(M, dtype=i32)[None, :] // C.G_SIZE
-    g_of = jnp.minimum(g_of, selectors.shape[1] - 1)
-    sel_per_sym = jnp.take_along_axis(selectors, g_of, axis=1)          # (B,M)
+    # payload: per-symbol code from its group's table.  Element-wise table
+    # gathers cost ~12 ns/element on this chip (~100 ms per batch), so the
+    # lookup is reformulated: select each group's table row with a 6-way
+    # masked sum (bandwidth-bound), then resolve the per-symbol entry with
+    # a one-hot batched matmul over the alphabet (MXU; byte planes <= 255
+    # are exact in bf16).  (code, len) pack into one word (codes <= 17
+    # bits, lens <= 5 bits) so one matmul pass covers both.
+    Gn = selectors.shape[1]
     m_valid = jnp.arange(M, dtype=i32)[None, :] < n_mtf[:, None]
-    flat_ts = sel_per_sym * A + mtfv
-    packed_tab = ((codes.astype(i32) << 5) | lens).reshape(B, 6 * A)
-    pay = jnp.take_along_axis(packed_tab, flat_ts, axis=1)
+    packed_tab = (codes.astype(i32) << 5) | lens                  # (B,6,A)
+    sel_hot = (selectors[:, :, None]
+               == jnp.arange(6, dtype=i32)[None, None, :])        # (B,G,6)
+    # per-group table rows as 3 bf16 byte planes: (B, G, A, 3)
+    tab_rows = jax.lax.dot_general(
+        sel_hot.astype(jnp.bfloat16),
+        jnp.stack([(packed_tab & 0xFF), (packed_tab >> 8) & 0xFF,
+                   packed_tab >> 16], axis=-1).astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # chunk the (B, G, G_SIZE, A) one-hot over G to bound the transient
+    n_chunks = 4 if Gn >= 64 else 1
+    Gp = -(-Gn // n_chunks) * n_chunks
+    Gc = Gp // n_chunks
+    mtf_g = jnp.pad(mtfv, ((0, 0), (0, Gp * C.G_SIZE - M))
+                    ).reshape(B, Gp, C.G_SIZE)
+    tab_p = jnp.pad(tab_rows, ((0, 0), (0, Gp - Gn), (0, 0), (0, 0)))
+
+    def chunk_pay(c):
+        oh = (mtf_g[:, c * Gc:(c + 1) * Gc, :, None]
+              == arange_a[:, None, 0, :]).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            oh, tab_p[:, c * Gc:(c + 1) * Gc],
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+    pay3 = jnp.concatenate([chunk_pay(c) for c in range(n_chunks)], axis=1)
+    pay3 = pay3.astype(i32)                               # (B,Gp,G_SIZE,3)
+    pay = (pay3[..., 0] | (pay3[..., 1] << 8)
+           | (pay3[..., 2] << 16)).reshape(B, Gp * C.G_SIZE)[:, :M]
     add(jnp.where(m_valid, (pay >> 5).astype(u32), 0),
         jnp.where(m_valid, pay & 31, 0))
 
