@@ -37,11 +37,25 @@ from . import native
 #: blocks per device batch (8 measured fastest: 16-block stage programs
 #: compile to ~4x slower schedules on this chip — wider is not better)
 BATCH = 8
-#: wave-1 walkers per block in the inverse-BWT splitter walk
-WALKERS = 1024
+#: wave-1 walkers per block in the inverse-BWT splitter walk (4096 —
+#: quarters the round-4 wave-1 step count at -9; the long-tail wave-2
+#: segments shrink linearly with the wave-1 splitter spacing too)
+WALKERS = 4096
 
 
-def _jit_fns(level: int, wt_words: int):
+def _g_buckets(level: int) -> tuple:
+    """Group-count bucket(s) for the decode programs.  The format allows
+    up to min(18002, 2000*level+2) groups per block while real text at -9
+    uses ~10k, so a text-sized bucket looks attractive — but alternating
+    between two symbol-stage executables measured 2-5x SLOWER end to end
+    on the tunneled runtime (symbols stage 4.6 s -> 9.8-15.4 s on the
+    25 MB -9 slice, 2026-08-20; same instability family as the
+    more-than-one-queued-executable wedge), so one full-size program per
+    (level, wt) it is."""
+    return (min(C.MAX_SELECTORS, 2000 * level + 2),)
+
+
+def _jit_fns(level: int, wt_words: int, G: int):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +63,6 @@ def _jit_fns(level: int, wt_words: int):
 
     N = 100_000 * level
     NOUT = N + N // 4 + 64
-    G = min(C.MAX_SELECTORS, 2000 * level + 2)
 
     # THREE stage-group jits, chained with explicit syncs: a single fused
     # pipeline jit measured 4.3x slower than the stage sum on this chip
@@ -137,10 +150,10 @@ class DeviceDecoder:
         self.batch = batch_size
         self._fns = {}
 
-    def _fn(self, level: int, wt: int):
-        key = (level, wt)
+    def _fn(self, level: int, wt: int, gb: int):
+        key = (level, wt, gb)
         if key not in self._fns:
-            self._fns[key] = _jit_fns(level, wt)
+            self._fns[key] = _jit_fns(level, wt, gb)
         return self._fns[key]
 
     # ------------------------------------------------------------------
@@ -162,7 +175,11 @@ class DeviceDecoder:
         wt = next((b for b in self.WT_BUCKETS if b >= need), None)
         if wt is None:
             return None
-        fn, N, NOUT, G = self._fn(level, wt)
+        gmax = max(pb.n_groups_used for pb in pbs)
+        gb = next((b for b in _g_buckets(level) if b >= gmax), None)
+        if gb is None:   # over-declared selector count: host fallback
+            return None
+        fn, N, NOUT, G = self._fn(level, wt, gb)
 
         span = stream[wbase * 4: min(wend * 4, stream.size)]
         wbytes = np.zeros(wt * 4, np.uint8)

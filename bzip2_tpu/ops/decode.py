@@ -8,23 +8,26 @@ inverse BWT).  The TPU formulation splits it into data-parallel stages:
 * **Symbol decode** — the host light-scan (native bz2tpu_parse_block)
   provides each 50-symbol group's start bit offset, which removes the
   serial bit dependency ACROSS groups; every group then decodes its 50
-  symbols in parallel lanes (B x 18002).  Code lengths come from a
-  vectorized canonical-code compare against per-length limits
-  (huffman.c:180-236's limit/base tables, evaluated as a 23-wide VPU
-  compare instead of a lookup chase); symbols from one perm-table gather.
-* **MTF^-1** — a `lax.scan` over symbols carrying the 256-entry list per
-  block lane; U symbols are unrolled per scan step to amortize step
-  overhead.  The scan also records the list front per symbol, which is
-  exactly the byte a RUNA/RUNB zero-run repeats.
+  symbols in parallel lanes (B x G, with G bucketed to the batch's real
+  group count).  Each symbol is one byte-granular 25-bit window gather
+  plus one-or-two probes of device-built two-level canonical LUTs
+  (huffman.c:180-236's tables generalized to a 12-bit direct window with
+  a 20-bit-prefix escape level).
+* **MTF^-1** — permutation-monoid chunking: the list update for rank r
+  is a content-independent cycle on positions, so 512 chunks scan
+  locally (U symbols unrolled per step) and one short sequential compose
+  anchors every chunk to the initial list.
 * **RLE2 expansion** — run lengths from the bijective-base-2 digits by
   segmented arithmetic (no scan), output offsets by prefix sum, and a
   scatter + running-max fill builds the BWT last column.
 * **Inverse BWT** — successor array from one stable sort (the tt
-  permutation, decompress.c:767-790), then a splitter walk: S walkers per
-  block start at evenly spaced positions and chase the permutation
-  concurrently, so the serial chain depth drops from n to ~n/S; segments
-  are reordered by rank and regathered.  Walkers that exceed the step cap
-  (adversarially skewed cycles) flag the lane for the host fallback.
+  permutation, decompress.c:767-790) with the segment-end flag packed in,
+  then a two-wave splitter walk: W1 walkers start at evenly spaced
+  positions and chase the permutation concurrently, so the serial chain
+  depth drops from n to ~n/W1; long-segment survivors compact 4:1 into a
+  second wave; segments are reordered by rank and regathered.  Walkers
+  that exceed the step budget (adversarially skewed cycles) flag the
+  lane for the host fallback.
 
 All shapes are static; corrupt input degrades to wrong bytes, never to
 out-of-bounds access — the orchestrator (bzip2_tpu/decoder.py) validates
@@ -273,16 +276,19 @@ def rle2_expand(syms, vals, n_used, n_mtf, N):
 # ----------------------------------------------------------- inverse BWT ---
 
 
-def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
+def ibwt(last, n_out, orig_ptr, n_walkers: int = 4096, budget: int = 32):
     """last (B,N) i32; n_out (B,); orig_ptr (B,).  Returns
     (out (B,N) i32 decoded post-RLE1 bytes, ok (B,) bool — False when a
     lane exceeded the total step budget and needs the host fallback).
 
     Successor array from one stable sort, packed with the emitted char
-    as ``tt = A<<8 | last`` so the walk costs ONE gather per step (the
-    reference's tt composition, decompress.c:767-790).  W1-1 evenly
-    spaced splitter positions plus the true start seq_0 = A[orig_ptr]
-    (walker W1-1) cut the permutation cycle into segments.
+    AND a segment-end flag as ``tt = A<<9 | is_splitter(A)<<8 | last`` so
+    the walk costs ONE gather and no divisions per step (the reference's
+    tt composition, decompress.c:767-790; the flag replaces the per-step
+    closed-form splitter inversion of the round-4 design — walkers record
+    the hit POSITION and the ids are recovered once per wave).  W1-1
+    evenly spaced splitter positions plus the true start seq_0 =
+    A[orig_ptr] (walker W1-1) cut the permutation cycle into segments.
 
     Wave 1 walks all W1 lanes under an early-exiting while_loop capped at
     2x the mean segment length; surviving long segments (expected
@@ -298,7 +304,7 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
     still merely a correctness-preserving host heal when it fires."""
     B, N = last.shape
     W1 = n_walkers
-    assert W1 <= 1024, "mark packing holds 11 bits of lane id"
+    assert W1 <= 4096 and N <= (1 << 20), "tt packing: 20b succ + flag + 8b"
     W2 = max(W1 // 4, 8)
     S = W1 - 1                                  # regular splitter count
     br = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -308,38 +314,49 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
     key = jnp.where(idx < n, last, 1 << 20)
     _, A = lax.sort((key, jnp.broadcast_to(idx, (B, N))), dimension=1,
                     is_stable=True, num_keys=1)            # successor map
-    tt = (A << 8) | jnp.where(idx < n, last & 0xFF, 0)     # packed succ+char
 
     start_pos = jnp.take_along_axis(A, orig_ptr[:, None], axis=1)  # (B,1)
 
     # splitters p_j = floor(j*n/S) for j < S, deduplicated when n < S and
-    # against the forced seq_0 splitter (walker S)
+    # against the forced seq_0 splitter (walker S).  j*n would overflow
+    # i32 at W1 = 4096, so the quotient splits exactly:
+    # floor(j*n/S) = j*(n//S) + floor(j*(n mod S)/S).
     j_s = jnp.arange(W1, dtype=jnp.int32)[None, :]
-    p_reg = (j_s[:, :S] * n) // S
+    j_reg = j_s[:, :S]
+    p_reg = j_reg * (n // S) + (j_reg * (n % S)) // S
     p_j = jnp.concatenate([p_reg, start_pos], axis=1)      # (B, W1)
     w_valid = jnp.concatenate(
         [jnp.ones((B, 1), bool), p_reg[:, 1:] != p_reg[:, :-1],
          jnp.ones((B, 1), bool)], axis=1)
     w_valid = w_valid & ((j_s == S) | (p_j != start_pos))
 
+    # splitter-id map: walker id + 1 scattered at each (valid) segment
+    # start — one unique-index scatter replaces the round-4 per-step
+    # closed-form inversion (whose q*S product would also overflow here)
+    smap = jnp.zeros((B, N + 1), jnp.int32).at[
+        br, jnp.where(w_valid, jnp.clip(p_j, 0, N - 1), N)].set(
+        jnp.where(w_valid, j_s + 1, 0))[:, :N]
+
     def splitter_id(q):
-        """Walker id whose segment starts at q, or -1.  The forced seq_0
-        splitter takes priority; regular ids by closed-form inversion of
-        p_j = floor(j*n/S)."""
-        jq = (q * S + n - 1) // n
-        hit = (jq < S) & ((jq * n) // S == q)
-        sid = jnp.where(hit, jq, -1)
-        return jnp.where(q == start_pos, S, sid)
+        """Walker id whose segment starts at position q, or -1."""
+        return jnp.take_along_axis(smap, q, axis=1) - 1
+
+    tt = (A << 9) \
+        | ((jnp.take_along_axis(smap, A, axis=1) > 0).astype(jnp.int32) << 8) \
+        | jnp.where(idx < n, last & 0xFF, 0)
 
     m = N // S + 1                                         # mean seg len
     cap1 = 2 * m
     cap2 = max((budget - 2) * m, 1)
-    assert cap1 <= 0x7FF and W2 <= 0x7FF, "assembly mark packing (11 bits)"
+    # assembly marks are (offset<<11 | payload): lane ids > 11 bits ship
+    # their two high bits in the c1 fill's spare bits (so cap1 must fit 9)
+    assert cap1 <= 0x1FF and W2 <= 0x7FF, "assembly mark packing"
 
     def wave(cur0, W, cap):
         """Walk W lanes until every segment ends or ``cap`` steps pass;
         the while_loop exits as soon as all lanes are done, so quiet
-        waves cost actual-steps, not cap."""
+        waves cost actual-steps, not cap.  Records the hit position;
+        callers recover the splitter id once per wave."""
         buf0 = jnp.zeros((B, W, cap), jnp.uint8)
 
         def cond(st):
@@ -347,24 +364,24 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
             return (t < cap) & jnp.any(cur >= 0)
 
         def body(st):
-            cur, cnt, hitj, buf, t = st
+            cur, cnt, hitp, buf, t = st
             active = cur >= 0
             cc = jnp.clip(cur, 0, N - 1)
             v = jnp.take_along_axis(tt, cc, axis=1)
-            nxt = v >> 8
-            sid = splitter_id(nxt)
-            done = active & (sid >= 0)
-            hitj = jnp.where(done, sid, hitj)
+            nxt = v >> 9
+            done = active & ((v & 0x100) != 0)
+            hitp = jnp.where(done, nxt, hitp)
             cnt = cnt + active.astype(jnp.int32)
             cur = jnp.where(active & ~done, nxt, -1)
             buf = lax.dynamic_update_slice(
                 buf, jnp.where(active, v & 0xFF, 0
                                ).astype(jnp.uint8)[:, :, None], (0, 0, t))
-            return cur, cnt, hitj, buf, t + 1
+            return cur, cnt, hitp, buf, t + 1
 
-        cur, cnt, hitj, buf, _ = lax.while_loop(
+        cur, cnt, hitp, buf, _ = lax.while_loop(
             cond, body, (cur0, jnp.zeros((B, W), jnp.int32),
                          jnp.full((B, W), -1, jnp.int32), buf0, jnp.int32(0)))
+        hitj = jnp.where(hitp >= 0, splitter_id(jnp.clip(hitp, 0, N - 1)), -1)
         return cur, cnt, hitj, buf
 
     cur0 = jnp.where(w_valid, p_j, -1)
@@ -431,10 +448,13 @@ def ibwt(last, n_out, orig_ptr, n_walkers: int = 1024, budget: int = 32):
         ].set(jnp.where(live, goc | payload, 0))[:, :N]
         return lax.cummax(mk, axis=1)
 
-    f_lane = fill(j_s + 1)
-    lane_c = jnp.clip((f_lane & 0x7FF) - 1, 0, W1 - 1)     # walker per pos
+    f_lane = fill((j_s + 1) & 0x7FF)
     pos_in = idx - (f_lane >> 11)
-    c1 = fill(jnp.minimum(cnt1, 0x7FF)) & 0x7FF            # cap1 < 2048
+    # c1 fill: 9 bits of wave-1 count + the lane id's two high bits
+    fc1 = fill((((j_s + 1) >> 11) << 9) | jnp.minimum(cnt1, 0x1FF))
+    lane_c = jnp.clip((((fc1 >> 9) & 3) << 11) | (f_lane & 0x7FF), 1,
+                      W1) - 1                              # walker per pos
+    c1 = fc1 & 0x1FF                                       # cap1 < 512
     # wave-2 lane of each walker (W2 when it had none)
     w2lane = jnp.full((B, W1 + 1), W2, jnp.int32).at[br, src_t].set(
         jnp.arange(W2, dtype=jnp.int32)[None, :])[:, :W1]
