@@ -26,6 +26,19 @@ so every candidate parses CONCURRENTLY (the native scan releases the
 GIL) and the batch assembler merely stitches the futures along the
 end_bit chain — speculative chunked decode with magic resync, the
 block-grain realization of SURVEY's C10 row.
+
+Why the within-block length chase stays on the host (a deliberate
+design decision, not a gap): a device chase would be one lane per block
+stepping ~800k serial while_loop iterations — orders of magnitude worse
+than the chip's batch parallelism can pay for — and the classic
+GPU self-sync speculation (chunked decode + resync) is broken by the
+format's per-50-symbol table switching, which makes speculative decode
+depend on the unknown global symbol index, not just the bit offset.
+Measured on the 25 MB -9 slice (2026-08-20): the concurrent host light
+parses are fully hidden under device execution (parse-ahead thread) and
+amount to ~2% of the wall, while the device symbol stage itself — three
+~12 ns gathers per symbol — is the ceiling.  The parse is not the
+bottleneck at any achievable device-decode speed on this chip.
 """
 from __future__ import annotations
 
