@@ -96,8 +96,10 @@ def _jit_fns(level: int, wt_words: int, G: int):
         raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
         # no device CRC here: the raw bytes are fetched to the host anyway,
         # where the slice-by-8 C++ CRC costs ~3 ms/batch vs the GF(2)
-        # device fold's ~150 ms.  (crc32_device remains the multi-chip
-        # path's verifier — parallel/mesh.py — where output stays sharded.)
+        # device fold's ~150 ms.  (The mesh path made the same call in
+        # round 5 — measured 6.2 s of an 11 s sharded batch wall; ops/
+        # decode.crc32_device stays as the library op for deployments
+        # whose output never visits a host.)
         return raw.astype(jnp.uint8), out_len, ok & fits
 
     f_a = jax.jit(grp_symbols)

@@ -121,33 +121,10 @@ def build_tables(lens, alpha):
 
 # -------------------------------------------------------- symbol decode ---
 
-def decode_symbols(words, goff, gsel, gvalid, lut1, lut2, esc_base):
-    """words: flat (WT,) u32 big-endian bit buffer shared by the whole
-    batch; goff (B,G) i32 absolute bit offsets into it; gsel (B,G) i32;
-    gvalid (B,G) bool; lut1/lut2/esc_base from build_tables, batched
-    (B, ...).  Returns syms (B, G*50) i32 in stream order (garbage in
-    invalid lanes).
-
-    Each group decodes its 50 symbols serially (the in-group bit chain),
-    all B*G groups in parallel; a symbol costs three (B,G) gathers — one
-    byte-granular 25-bit window read (wb8, below) plus the one-or-two-
-    level LUT probes — instead of the 23-wide canonical limit compare
-    (whose (B,G,23) operand traffic dominated the round-3 version).
-    The stage is gather-throughput-bound, so the gather count per symbol
-    IS the cost model."""
-    WT = words.shape[0]
+def _symbol_scan(wb8, goff, gsel, gvalid, lut1, lut2, esc_base, take_w):
+    """Shared 50-step symbol scan; ``take_w(wb8, wi)`` reads the 32-bit
+    window at byte index wi (flat- or row-addressed)."""
     B, G = goff.shape
-    # wb8[i] = the 32-bit big-endian window starting at byte i: one gather
-    # yields >= 25 valid bits after the (off & 7) shift, and every code is
-    # <= 20 bits (decompress.c:411-423 range check), so a single read
-    # suffices.  Built once per batch from four byte-plane rolls.
-    b0 = words >> 24
-    b1 = (words >> 16) & 0xFF
-    b2 = (words >> 8) & 0xFF
-    b3 = words & 0xFF
-    byts = jnp.stack([b0, b1, b2, b3], axis=1).reshape(4 * WT)
-    wb8 = ((byts << 24) | (jnp.roll(byts, -1) << 16)
-           | (jnp.roll(byts, -2) << 8) | jnp.roll(byts, -3))
     lut1f = lut1.reshape(B, 6 << LUT_BITS)
     lut2f = lut2.reshape(B, 6 * (ESC_PREFIXES << 8))
     # per-lane escape base via 6-way select (tiny)
@@ -156,9 +133,9 @@ def decode_symbols(words, goff, gsel, gvalid, lut1, lut2, esc_base):
         ebase = jnp.where(gsel == t, esc_base[:, t][:, None], ebase)
 
     def step(off, _):
-        wi = jnp.clip(off >> 3, 0, 4 * WT - 1)
+        wi = off >> 3
         sh = (off & 7).astype(jnp.uint32)
-        w = jnp.take(wb8, wi, mode="clip") << sh
+        w = take_w(wb8, wi) << sh
         w12 = (w >> (32 - LUT_BITS)).astype(jnp.int32)
         e1 = jnp.take_along_axis(lut1f, (gsel << LUT_BITS) + w12, axis=1)
         loc2 = ((w >> 12).astype(jnp.int32) - (ebase << 8))
@@ -173,6 +150,60 @@ def decode_symbols(words, goff, gsel, gvalid, lut1, lut2, esc_base):
     _, syms = lax.scan(step, goff, None, length=G_SIZE)    # (50, B, G)
     return jnp.transpose(syms, (1, 2, 0)).reshape(B, G * G_SIZE
                                                   ).astype(jnp.int32)
+
+
+def _byte_windows(words):
+    """(..., WT) u32 words -> (..., 4*WT) u32: wb8[i] is the 32-bit
+    big-endian window starting at byte i.  One such gather yields >= 25
+    valid bits after the (off & 7) shift, and every code is <= 20 bits
+    (decompress.c:411-423 range check), so a single read per symbol
+    suffices.  Built once from four byte-plane rolls."""
+    b0 = words >> 24
+    b1 = (words >> 16) & 0xFF
+    b2 = (words >> 8) & 0xFF
+    b3 = words & 0xFF
+    byts = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(
+        words.shape[:-1] + (4 * words.shape[-1],))
+    return ((byts << 24) | (jnp.roll(byts, -1, axis=-1) << 16)
+            | (jnp.roll(byts, -2, axis=-1) << 8)
+            | jnp.roll(byts, -3, axis=-1))
+
+
+def decode_symbols(words, goff, gsel, gvalid, lut1, lut2, esc_base):
+    """words: flat (WT,) u32 big-endian bit buffer shared by the whole
+    batch; goff (B,G) i32 absolute bit offsets into it; gsel (B,G) i32;
+    gvalid (B,G) bool; lut1/lut2/esc_base from build_tables, batched
+    (B, ...).  Returns syms (B, G*50) i32 in stream order (garbage in
+    invalid lanes).
+
+    Each group decodes its 50 symbols serially (the in-group bit chain),
+    all B*G groups in parallel; a symbol costs three (B,G) gathers — one
+    byte-granular 25-bit window read plus the one-or-two-level LUT
+    probes.  The stage is gather-throughput-bound, so the gather count
+    per symbol IS the cost model."""
+    WT = words.shape[0]
+    wb8 = _byte_windows(words)
+
+    def take_flat(wb, wi):
+        return jnp.take(wb, jnp.clip(wi, 0, 4 * WT - 1), mode="clip")
+
+    return _symbol_scan(wb8, goff, gsel, gvalid, lut1, lut2, esc_base,
+                        take_flat)
+
+
+def decode_symbols_rows(words, goff, gsel, gvalid, lut1, lut2, esc_base):
+    """Row-addressed variant for the sharded (mesh) path: words (B, WT)
+    u32 per-block rows, goff (B,G) bit offsets local to each row.  Every
+    array is batched on the block axis, so the program partitions cleanly
+    under sharding annotations (no flat shared buffer to rebase)."""
+    B, WT = words.shape
+    wb8 = _byte_windows(words)                             # (B, 4*WT)
+
+    def take_rows(wb, wi):
+        return jnp.take_along_axis(wb, jnp.clip(wi, 0, 4 * WT - 1), axis=1)
+
+    return _symbol_scan(wb8, goff, gsel, gvalid, lut1, lut2, esc_base,
+                        take_rows)
 
 
 # ---------------------------------------------------------------- MTF^-1 ---

@@ -1,25 +1,34 @@
 """Block-data-parallel encoding over a jax.sharding.Mesh.
 
-The block axis is sharded across the mesh ("blocks" axis); every device runs
-the identical single-chip block-encode program (bzip2_tpu.engine) on its
-shard, then all-gathers the per-block bit lengths so each participant knows
-the global splice offsets (SURVEY §2.3's parallelism contract).  Compressed
-payload words stay device-sharded until the host gathers them in block
-order for the bit splice.
+The block axis is sharded across the mesh ("blocks" axis): the arrays
+carry NamedSharding annotations and ONE jitted program covers the whole
+mesh — XLA's SPMD partitioner splits every batched op along the block
+axis and inserts the single collective the contract needs (the all-gather
+of per-block bit lengths, whose output sharding is declared replicated;
+SURVEY §2.3).  Compressed payload words stay device-sharded until the
+host gathers them in block order for the bit splice.
+
+Why annotations and not ``shard_map``: measured on the real chip
+(2026-08-20), the shard_map-wrapped fused encoder ran 15-30x slower than
+the identical plain-jit program (22-58 s vs 1.5 s per 9-block -9 batch;
+~11 s even with pallas disabled) — the manual-partitioning path compiles
+this sort/scan-heavy program pathologically on this backend, while
+sharding annotations reproduce plain-jit performance exactly (1.48 s)
+because every op is batched along the sharded axis and partitions
+trivially.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
-
-try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine import encode_batch_device
+
+#: jitted word-prefix slicers keyed by (shape, bucket) — see
+#: encode_blocks_sharded
+_SLICERS: dict = {}
 
 #: count of sharded-decode lanes healed on the host (walker-cap / CRC
 #: anomalies) — observability mirror of decoder.ANOMALIES for the mesh
@@ -32,32 +41,30 @@ def make_mesh(devices=None, axis: str = "blocks") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+_BUILT: dict = {}   # (kind, mesh, shape key) -> jitted program
+
+
 def build_sharded_encoder(mesh: Mesh, n_words: int, axis: str = "blocks"):
     """Returns a jitted SPMD encoder over the mesh.
 
     fn(blocks (B, N) u8, n (B,), in_use (B,256), crc (B,)) ->
-      (words (B, n_words) u32 sharded, nbits (B,) replicated)
-    B must be a multiple of the mesh size.
+      (words (B, n_words) u32 sharded, nbits (B,) replicated — the
+      replicated output sharding IS the all-gather of per-block bit
+      lengths every participant needs for global splice offsets).
+    B must be a multiple of the mesh size.  Built once per
+    (mesh, n_words): a fresh jit wrapper per call would re-trace and
+    re-load the executable every time (seconds on this backend).
     """
-
-    def local_step(blocks, n, in_use, crc):
-        words, nbits = encode_batch_device(blocks, n, in_use, crc,
-                                           n_words=n_words)
-        # All-gather the (tiny) per-block bit lengths so every shard can
-        # compute global splice offsets; payloads stay sharded.
-        nbits_all = jax.lax.all_gather(nbits, axis, tiled=True)
-        return words, nbits_all
-
-    # replication checking off: several ops initialize loop carries from
-    # constants (e.g. the MTF last-occurrence table), which the varying-
-    # manual-axes analysis would reject; per-shard semantics are unaffected.
-    kw = dict(mesh=mesh, in_specs=(P(axis), P(axis), P(axis), P(axis)),
-              out_specs=(P(axis), P()))
-    try:
-        sharded = shard_map(local_step, check_vma=False, **kw)
-    except TypeError:  # older shard_map API
-        sharded = shard_map(local_step, check_rep=False, **kw)
-    return jax.jit(sharded)
+    key = ("enc", mesh, n_words, axis)
+    if key not in _BUILT:
+        import functools
+        sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        _BUILT[key] = jax.jit(
+            functools.partial(encode_batch_device, n_words=n_words),
+            in_shardings=(sh, sh, sh, sh),
+            out_shardings=(sh, rep))
+    return _BUILT[key]
 
 
 def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
@@ -73,40 +80,75 @@ def build_sharded_decoder(mesh: Mesh, level: int, wt: int, G: int,
 
     fn(words (B, wt) u32, goff (B, G) i32, gsel (B, G) i32,
        gvalid (B, G) bool, lens6 (B,6,258), alpha (B,), used_list, n_used,
-       n_mtf, orig) -> (raw (B, NOUT) u8, out_len (B,), crc (B,), ok (B,))
+       n_mtf, orig) -> (raw (B, NOUT) u8, out_len (B,), ok (B,))
     """
     from ..ops import decode as D
 
     N = 100_000 * level
     NOUT = N + N // 4 + 64
 
-    def local_step(words, goff, gsel, gvalid, lens6, alpha,
-                   used_list, n_used, n_mtf, orig):
-        # decode_symbols expects one flat word buffer with absolute bit
-        # offsets; flatten the shard's per-block rows and rebase (each
-        # row carries a word of slack, so straddled reads stay in-row)
-        bl, wtl = words.shape
-        flat = words.reshape(bl * wtl)
-        goff_abs = goff + (jnp.arange(bl, dtype=jnp.int32)
-                           * (wtl * 32))[:, None]
+    # FOUR stage jits chained with explicit syncs, mirroring the
+    # single-chip decoder (decoder.py): one fused pipeline jit measured
+    # 4.3x slower there and catastrophically slower (~170 s/batch) under
+    # SPMD partitioning — XLA's scheduling of the chained scans and
+    # while_loops degrades badly when fused.  Every array is batched on
+    # the block axis (decode_symbols_rows keeps the bit buffer as
+    # per-block rows), so each stage partitions along it cleanly.
+    def grp_symbols(words, goff, gsel, gvalid, lens6, alpha):
         lut1, lut2, ebase = D.build_tables(lens6, alpha)
-        syms = D.decode_symbols(flat, goff_abs, gsel, gvalid, lut1, lut2,
-                                ebase)
-        vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
-        last, n_out = D.rle2_expand(syms, vals, n_used, n_mtf, N)
-        out, ok = D.ibwt(last, n_out, orig)
-        raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
-        crc = D.crc32_device(raw, out_len)
-        return raw.astype(jnp.uint8), out_len, crc, ok & fits
+        return D.decode_symbols_rows(words, goff, gsel, gvalid, lut1,
+                                     lut2, ebase)
 
-    kw = dict(mesh=mesh,
-              in_specs=(P(axis),) * 10,
-              out_specs=(P(axis),) * 4)
-    try:
-        sharded = shard_map(local_step, check_vma=False, **kw)
-    except TypeError:  # older shard_map API
-        sharded = shard_map(local_step, check_rep=False, **kw)
-    return jax.jit(sharded)
+    def grp_mtf(syms, used_list, n_used, n_mtf):
+        vals = D.mtf_inverse(syms, used_list, n_used, n_mtf)
+        return D.rle2_expand(syms, vals, n_used, n_mtf, N)
+
+    def grp_tail(out, n_out, ok):
+        raw, out_len, fits = D.rle1_inverse(out, n_out, NOUT)
+        # no device CRC: the raw bytes are host-gathered for the splice
+        # anyway, where the slice-by-8 C++ CRC is ~40x cheaper than the
+        # GF(2) device fold (measured 6.2 s of an 11 s batch wall) — the
+        # same decision the single-chip decoder documents (decoder.py)
+        return raw.astype(jnp.uint8), out_len, ok & fits
+
+    # D.ibwt participates in the key: the jits trace it once, and tests
+    # (and embedders) swap it to exercise the heal path — a stale cached
+    # trace would silently keep the old budget
+    key = ("dec", mesh, level, wt, G, axis, D.ibwt)
+    if key not in _BUILT:
+        sh = NamedSharding(mesh, P(axis))
+
+        def J(f, n_in, n_out):
+            return jax.jit(f, in_shardings=(sh,) * n_in,
+                           out_shardings=(sh,) * n_out if n_out > 1 else sh)
+
+        f_a = J(grp_symbols, 6, 1)
+        f_m = J(grp_mtf, 4, 2)
+        f_b = J(lambda l, n, o: D.ibwt(l, n, o), 3, 2)
+        f_c = J(grp_tail, 3, 3)
+
+        def pipeline(words, goff, gsel, gvalid, lens6, alpha,
+                     used_list, n_used, n_mtf, orig):
+            import os
+            import sys
+            import time
+            b = jax.block_until_ready
+            t0 = time.time()
+            syms = b(f_a(words, goff, gsel, gvalid, lens6, alpha))
+            t1 = time.time()
+            last, n_out = b(f_m(syms, used_list, n_used, n_mtf))
+            t2 = time.time()
+            out, ok = b(f_b(last, n_out, orig))
+            t3 = time.time()
+            res = b(f_c(out, n_out, ok))
+            if os.environ.get("BZ2TPU_MESH_TIMING"):
+                sys.stderr.write(
+                    f"[mesh-dec] symbols {t1-t0:.2f} mtf+rle2 {t2-t1:.2f} "
+                    f"ibwt {t3-t2:.2f} tail {time.time()-t3:.2f}\n")
+            return res
+
+        _BUILT[key] = pipeline
+    return _BUILT[key]
 
 
 def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
@@ -214,15 +256,17 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
         orig[i] = pb.orig_ptr
 
     fn = build_sharded_decoder(mesh, level, wt, G, axis=axis)
-    raw, out_len, crc, ok = fn(words, goff, gsel, gvalid, lens6, alpha,
-                               used_list, n_used, n_mtf, orig)
+    raw, out_len, ok = fn(words, goff, gsel, gvalid, lens6, alpha,
+                          used_list, n_used, n_mtf, orig)
     raw = np.asarray(raw)
     out_len = np.asarray(out_len)
-    crc = np.asarray(crc)
     ok = np.asarray(ok)
     parts = []
     for i, pb in enumerate(metas):
-        if not bool(ok[i]) or int(crc[i]) != pb.stored_crc:
+        blk = raw[i, : int(out_len[i])].tobytes() if bool(ok[i]) else b""
+        # block CRC on the gathered bytes (slice-by-8 C++, ~40x cheaper
+        # than the GF(2) device fold this path used to run)
+        if not bool(ok[i]) or native.crc32(blk) != pb.stored_crc:
             # lane anomaly (e.g. walker-cap on skewed cycles): heal this
             # block on the host, same policy as the single-chip decoder
             HEALS["lane"] += 1
@@ -234,13 +278,18 @@ def decode_blocks_sharded(mesh, stream: bytes, level: int | None = None,
                                  f"(host rc={rc2})")
             parts.append(out)
             continue
-        parts.append(raw[i, : int(out_len[i])].tobytes())
+        parts.append(blk)
     return b"".join(parts)
 
 
 def encode_blocks_sharded(mesh, blocks_np, n_np, in_use_np, crc_np, n_words):
     """Host convenience: pad the batch to the mesh size, run the SPMD step,
-    return (words (B,W) np.uint32, nbits (B,) np.int64) for the real blocks."""
+    return (words (B,W) np.uint32, nbits (B,) np.int64) for the real blocks.
+
+    Only the used word prefix crosses host-ward (bit lengths first — tiny
+    and replicated — then a device-side slice, the same discipline as the
+    single-chip engine's bucketed fetch): the full worst-case payload
+    buffer is ~17 MB per 9-block batch of which ~1.5 MB is real."""
     d = mesh.devices.size
     B = blocks_np.shape[0]
     Bp = -(-B // d) * d
@@ -254,4 +303,14 @@ def encode_blocks_sharded(mesh, blocks_np, n_np, in_use_np, crc_np, n_words):
         crc_np = np.concatenate([crc_np, np.zeros(pad, np.uint32)])
     fn = build_sharded_encoder(mesh, n_words)
     words, nbits = fn(blocks_np, n_np.astype(np.int32), in_use_np, crc_np)
-    return np.asarray(words)[:B], np.asarray(nbits)[:B]
+    nbits_np = np.asarray(nbits)
+    need = int((int(nbits_np.max()) + 31) // 32)
+    bucket = min(1 << max(10, need - 1).bit_length(), n_words)
+    key = (words.shape, bucket)
+    if key not in _SLICERS:
+        import functools
+        _SLICERS[key] = jax.jit(functools.partial(
+            lambda w, k: w[:, :k], k=bucket))
+    out = np.zeros((Bp, n_words), np.uint32)
+    out[:, :bucket] = np.asarray(_SLICERS[key](words))
+    return out[:B], nbits_np[:B]
