@@ -426,6 +426,13 @@ class DeviceDecoder:
                 # k+1's headers, the main thread drives batch k's device
                 # stages, and the commit thread fetches + CRC-checks
                 # batch k-1's output — d2h rides under device compute.
+                # (A decode-then-drain sequential variant was measured
+                # 2026-08-20: consistently ~0.5 MB/s SLOWER end to end
+                # (2.4-2.7 vs 2.85-3.34 MB/s on the 25 MB -9 slice) even
+                # though the overlapped fetch inflates the per-stage
+                # walls by queuing against stage executions in the
+                # tunnel — read STAGE_WALL as contaminated by transfer
+                # time, not as pure compute.)
                 pending = None
                 cfut = None
                 with _cf.ThreadPoolExecutor(max_workers=1) as ex, \
