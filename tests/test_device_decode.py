@@ -231,3 +231,67 @@ assert rate >= {floor}, rate
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_decode_symbols_rows_matches_flat(golden):
+    """The row-addressed symbol decoder (the mesh path's formulation) must
+    produce the same symbol stream as the flat-buffer one."""
+    from bzip2_tpu import native
+
+    data = golden[2][0][:180_000]
+    comp = stdlib_bz2.compress(data, 1)
+    buf = np.frombuffer(comp, np.uint8)
+    pbs = []
+    pos = 32
+    while True:
+        pb, _rc = native.parse_block(buf, pos, 1)
+        if pb is None:
+            break
+        pb.start_bit = pos
+        pbs.append(pb)
+        pos = pb.end_bit
+    assert pbs, "fixture produced no blocks"
+    B = len(pbs)
+    G = max(pb.n_groups_used for pb in pbs)
+    lens6 = np.stack([pb.lens for pb in pbs])
+    alpha = np.array([pb.n_used + 2 for pb in pbs], np.int32)
+    lut1, lut2, ebase = D.build_tables(jnp.asarray(lens6),
+                                       jnp.asarray(alpha))
+
+    # flat form: one shared buffer, absolute offsets
+    wt_flat = buf.size // 4 + 2
+    flat_b = np.zeros(wt_flat * 4, np.uint8)
+    flat_b[: buf.size] = buf
+    words_flat = flat_b.view(">u4").astype(np.uint32)
+    goff_f = np.zeros((B, G), np.int32)
+    gsel = np.zeros((B, G), np.int32)
+    gvalid = np.zeros((B, G), bool)
+    for i, pb in enumerate(pbs):
+        g = pb.n_groups_used
+        goff_f[i, :g] = pb.group_offsets
+        gsel[i, :g] = pb.selectors[:g]
+        gvalid[i, :g] = True
+    syms_flat = np.asarray(D.decode_symbols(
+        jnp.asarray(words_flat), jnp.asarray(goff_f), jnp.asarray(gsel),
+        jnp.asarray(gvalid), lut1, lut2, ebase))
+
+    # row form: per-block word rows, row-local offsets
+    need = max(((pb.end_bit + 31) // 32 + 1) - pb.sym_start_bit // 32
+               for pb in pbs)
+    wt = 1 << max(6, need - 1).bit_length()
+    words_r = np.zeros((B, wt), np.uint32)
+    goff_r = np.zeros((B, G), np.int32)
+    for i, pb in enumerate(pbs):
+        wbase = pb.sym_start_bit // 32
+        span = buf[wbase * 4: min(((pb.end_bit + 31) // 32 + 1) * 4,
+                                  buf.size)]
+        row = np.zeros(wt * 4, np.uint8)
+        row[: span.size] = span
+        words_r[i] = row.view(">u4").astype(np.uint32)
+        goff_r[i, : pb.n_groups_used] = pb.group_offsets - wbase * 32
+    syms_rows = np.asarray(D.decode_symbols_rows(
+        jnp.asarray(words_r), jnp.asarray(goff_r), jnp.asarray(gsel),
+        jnp.asarray(gvalid), lut1, lut2, ebase))
+
+    valid = np.repeat(gvalid, 50, axis=1)
+    assert np.array_equal(syms_flat[valid], syms_rows[valid])
