@@ -64,7 +64,7 @@ def main_host_only():
     # level; a whole best-of-5 can land inside one slow phase), so sample
     # in two rounds separated by a pause and take the global best.
     enc_runs, dec_runs = [], []
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
     for rnd in range(n_rounds):
         if rnd:
             # pause scales with input: phase-hopping matters for the real
@@ -252,7 +252,7 @@ def main(use_device: bool = True):
     # best is taken — same sampling the host-only fallback has used since
     # round 3 (VERDICT r4 weak #1 asked for it on this path too).
     _engine.reset_telemetry()
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
     enc_runs, dec_runs = [], []
     comp = None
     for rnd in range(n_rounds):
